@@ -1,0 +1,155 @@
+"""FASTA parsing into encoded sequence arrays.
+
+Mirrors reference: src/shared/SequenceSet.cpp:285-447 semantics (header
+handling, blank lines, empty-entry warnings, space-in-sequence error,
+base-frequency accumulation over defined bases only).  A native C++
+fast-path parser lives in io/native/ (used automatically when built);
+this module is the always-available implementation and the semantics
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..alphabets import Alphabet, STANDARD
+
+
+class FastaFormatError(RuntimeError):
+    pass
+
+
+@dataclass
+class SequenceSet:
+    """Encoded FASTA sequence set (reference: src/shared/SequenceSet.{h,cpp}).
+
+    sequences hold BaMM codes (0 = undefined/N, 1..4 = ACGT).
+    """
+
+    filepath: str
+    sequences: List[np.ndarray] = field(default_factory=list)
+    headers: List[str] = field(default_factory=list)
+    base_frequencies: Optional[np.ndarray] = None
+    alphabet: Alphabet = STANDARD
+
+    @property
+    def n(self) -> int:
+        return len(self.sequences)
+
+    @property
+    def min_l(self) -> int:
+        return min((len(s) for s in self.sequences), default=0)
+
+    @property
+    def max_l(self) -> int:
+        return max((len(s) for s in self.sequences), default=0)
+
+    @property
+    def total_bases(self) -> int:
+        return sum(len(s) for s in self.sequences)
+
+    def padded(self, pad_multiple: int = 128) -> np.ndarray:
+        """[N, Lmax'] uint8 batch, zero-padded (pad == undefined base, which
+        window validity treats exactly like the reference's sequence end)."""
+        max_l = self.max_l
+        if pad_multiple > 1:
+            max_l = ((max_l + pad_multiple - 1) // pad_multiple) * pad_multiple
+        out = np.zeros((self.n, max_l), dtype=np.uint8)
+        for i, s in enumerate(self.sequences):
+            out[i, : len(s)] = s
+        return out
+
+
+def read_fasta(
+    filepath: str,
+    alphabet: Alphabet = STANDARD,
+    warn_stream=sys.stderr,
+) -> SequenceSet:
+    """Parse a FASTA file (reference: SequenceSet.cpp:285-447)."""
+    sset = SequenceSet(filepath=filepath, alphabet=alphabet)
+    base_counts = np.zeros(alphabet.size, dtype=np.int64)
+
+    header: Optional[str] = None
+    chunks: List[str] = []
+
+    def flush():
+        nonlocal header, chunks
+        if header is None:
+            return
+        seq = "".join(chunks)
+        if not seq:
+            print(
+                f"Warning: Ignore FASTA entry without sequence: {filepath}",
+                file=warn_stream,
+            )
+            header = None
+            chunks = []
+            return
+        codes = alphabet.encode(seq)
+        np.add.at(base_counts, codes[codes > 0] - 1, 1)
+        sset.sequences.append(codes)
+        sset.headers.append(header)
+        header = None
+        chunks = []
+
+    with open(filepath) as f:
+        content = f.read()
+    lines = content.split("\n")
+    # Reference quirk, reproduced: getline(...).good() discards a final
+    # line that is not newline-terminated (reference:
+    # SequenceSet.cpp:304 — the while condition fails on EOF *after* the
+    # unterminated line is extracted, so it is never processed).
+    if not content.endswith("\n"):
+        lines = lines[:-1]
+
+    if True:
+        for line in lines:
+            line = line.rstrip("\r")
+            if not line:
+                continue
+            if line[0] == ">":
+                flush()
+                header = line[1:] if len(line) > 1 else str(len(sset.sequences) + 1)
+            elif header is not None:
+                if " " in line:
+                    raise FastaFormatError(
+                        f"FASTA sequence contains space character: {filepath}"
+                    )
+                chunks.append(line)
+            else:
+                raise FastaFormatError(f"Wrong FASTA format: {filepath}")
+        flush()
+
+    total = base_counts.sum()
+    sset.base_frequencies = (
+        base_counts.astype(np.float32) / np.float32(total) if total else
+        np.zeros(alphabet.size, dtype=np.float32)
+    )
+    return sset
+
+
+def load_sequence_set(filepath: str, alphabet: Alphabet = STANDARD) -> SequenceSet:
+    """Load via the native C++ parser when available, else pure Python."""
+    try:
+        from .native import parse_fasta_native  # noqa: PLC0415
+
+        result = parse_fasta_native(filepath, alphabet)
+        if result is not None:
+            return result
+    except Exception:
+        pass
+    return read_fasta(filepath, alphabet)
+
+
+def revcomp_codes(codes: np.ndarray, alphabet: Alphabet = STANDARD) -> np.ndarray:
+    """Reverse complement of a BaMM-coded sequence (0 stays 0;
+    reference: src/shared/Sequence.cpp:45-52)."""
+    comp = np.zeros(alphabet.size + 1, dtype=np.uint8)
+    for c in range(1, alphabet.size + 1):
+        comp[c] = alphabet.get_complement_code(c)
+    return comp[codes[::-1]]

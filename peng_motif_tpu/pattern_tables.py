@@ -1,0 +1,210 @@
+"""Phase-1 pattern tables: counts, background probabilities, statistics.
+
+The TPU equivalent of the reference's BasePattern
+(reference: src/base_pattern.{h,cpp}): one object owning the 4**W tables,
+built device-side, with host mirrors for the (small) sequential decisions
+(seed selection, hill-climb control flow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alphabets import base_id_to_string
+from .models.background import BackgroundModel
+from .ops import bgprobs, counting, encoding, iupac_sum, stats
+from .utils import numerics
+
+
+class Strand(Enum):
+    PLUS_STRAND = 0
+    BOTH_STRANDS = 1
+
+
+class OptimizationScore(Enum):
+    LOGPVAL = 0
+    ENRICHMENT = 1
+    MUTUAL_INFO = 2
+
+
+@dataclass
+class SeedSelection:
+    patterns: List[int]
+
+
+class PatternTables:
+    """4**W count table + background probabilities + per-pattern stats.
+
+    Mirrors the phase-1 construction order of the reference BasePattern
+    ctor (src/base_pattern.cpp:17-64): background tables for orders
+    0..max_k, double-strand aggregation, counting, expected counts,
+    log p-values, z-scores.
+    """
+
+    def __init__(
+        self,
+        pattern_length: int,
+        strand: Strand,
+        k: int,
+        max_k: int,
+        padded_codes: np.ndarray,
+        bg_model: BackgroundModel,
+        n_sequences: int,
+    ):
+        self.pattern_length = W = pattern_length
+        self.strand = strand
+        self.k = k
+        self.max_k = max(k, max_k)
+        self.n_sequences = n_sequences
+        self.number_patterns = 4 ** W
+        self.both = strand == Strand.BOTH_STRANDS
+
+        v_dev = [jnp.asarray(vk) for vk in bg_model.v[: self.max_k + 1]]
+
+        # background probability tensors per order (strand-aggregated in
+        # BOTH_STRANDS mode, reference: src/base_pattern.cpp:42-49)
+        self.bg_tensors: List[jax.Array] = []
+        for order in range(self.max_k + 1):
+            t = bgprobs.bg_prob_table(v_dev[: order + 1], W, order)
+            if self.both:
+                t = bgprobs.aggregate_double_strand(t)
+            self.bg_tensors.append(t)
+
+        # counting (reference: src/base_pattern.cpp:331-441)
+        counts_flat, ltot = counting.count_patterns(
+            jnp.asarray(padded_codes), W, self.both
+        )
+        self.counts_flat = counts_flat
+        self.ltot = int(ltot)
+        self.counts_tensor = encoding.to_tensor(counts_flat, W)
+
+        # stats (reference: src/base_pattern.cpp:56-63)
+        bg_k_flat = encoding.to_flat(self.bg_tensors[self.k])
+        self.expected_flat = stats.expected_counts(
+            bg_k_flat, jnp.asarray(float(self.ltot), dtype=jnp.float32)
+        )
+        self.zscores_flat = stats.zscores(counts_flat, self.expected_flat)
+        self.logp_flat = stats.log_pvalues(counts_flat, self.expected_flat)
+
+        # aggregation inputs: canonical-masked tables (see ops/iupac_sum.py)
+        if self.both:
+            canon = encoding.canonical_mask(W)
+            counts_c = jnp.where(canon, self.counts_tensor, 0)
+            float_stack = jnp.stack(
+                [
+                    jnp.where(canon, encoding.to_tensor(self.expected_flat, W), 0.0),
+                    jnp.where(canon, self.bg_tensors[self.k], 0.0),
+                ]
+            )
+        else:
+            counts_c = self.counts_tensor
+            float_stack = jnp.stack(
+                [encoding.to_tensor(self.expected_flat, W), self.bg_tensors[self.k]]
+            )
+        self._agg_counts = counts_c
+        self._agg_floats = float_stack
+
+        # host mirrors for sequential decision logic
+        self.counts_np = np.asarray(counts_flat)
+        self.expected_np = np.asarray(self.expected_flat)
+        self.zscores_np = np.asarray(self.zscores_flat)
+        self._logp_np: Optional[np.ndarray] = None
+
+    # -- aggregation -------------------------------------------------------
+
+    def aggregate(self, masks_batch: np.ndarray):
+        """Batched IUPAC aggregation: returns (counts [B] int64,
+        expected [B] f32, bg_p [B] f32)."""
+        c, f = iupac_sum.aggregate_batch(
+            self._agg_counts,
+            self._agg_floats,
+            jnp.asarray(masks_batch, dtype=jnp.int32),
+            self.both,
+        )
+        c = np.asarray(c, dtype=np.int64)
+        f = np.asarray(f)
+        return c, f[:, 0], f[:, 1]
+
+    # -- per-pattern host-side accessors ----------------------------------
+
+    @property
+    def logp_np(self) -> np.ndarray:
+        if self._logp_np is None:
+            self._logp_np = np.asarray(self.logp_flat)
+        return self._logp_np
+
+    def optimization_score(
+        self, score_type: OptimizationScore, pattern: int, pseudo_expected: int
+    ) -> np.float32:
+        """Seed score from the base tables
+        (reference: src/base_pattern.cpp:210-224)."""
+        if score_type == OptimizationScore.LOGPVAL:
+            return np.float32(self.logp_np[pattern])
+        if score_type == OptimizationScore.ENRICHMENT:
+            return numerics.exp_count_fraction(
+                int(self.counts_np[pattern]), self.expected_np[pattern],
+                pseudo_expected,
+            )
+        return numerics.mutual_information_score(
+            int(self.counts_np[pattern]), self.expected_np[pattern],
+            self.n_sequences,
+        )
+
+    def to_string(self, pattern: int) -> str:
+        return base_id_to_string(pattern, self.pattern_length)
+
+    # -- seed selection (reference: src/base_pattern.cpp:443-515) ---------
+
+    def select_base_patterns(
+        self,
+        zscore_threshold: float,
+        count_threshold: int,
+        single_stranded: bool,
+        filter_neighbors: bool,
+    ) -> List[int]:
+        """Greedy threshold walk over z-sorted patterns with optional
+        Hamming-1 neighbor suppression and revcomp dedup.  Sequential by
+        construction; runs on the (small) above-threshold subset."""
+        W = self.pattern_length
+        z = self.zscores_np
+        above = np.flatnonzero(z >= np.float32(zscore_threshold))
+        # descending z; ties broken by ascending id for determinism
+        order = above[np.argsort(-z[above], kind="stable")]
+
+        seen = np.zeros(self.number_patterns, dtype=bool)
+        selected: List[int] = []
+        counts = self.counts_np
+        for pattern in order:
+            pattern = int(pattern)
+            if counts[pattern] < count_threshold:
+                continue
+            if single_stranded:
+                ok = not seen[pattern]
+            else:
+                rc = _revcomp_id(pattern, W)
+                ok = (not seen[pattern]) and (not seen[rc])
+            if not ok:
+                continue
+            selected.append(pattern)
+            seen[pattern] = True
+            if filter_neighbors:
+                for p in range(W):
+                    c = (pattern // (4 ** p)) % 4
+                    masked = pattern - c * (4 ** p)
+                    for letter in range(4):
+                        seen[masked + letter * (4 ** p)] = True
+        return selected
+
+
+def _revcomp_id(pattern: int, length: int) -> int:
+    out = 0
+    for p in range(length):
+        c = (pattern // (4 ** p)) % 4
+        out += (3 - c) * (4 ** (length - 1 - p))
+    return out

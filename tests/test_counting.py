@@ -1,0 +1,116 @@
+"""Counting semantics vs a direct Python port of the reference scan
+(reference: src/base_pattern.cpp:331-441), on adversarial inputs:
+tandem repeats, homopolymers, Ns, short sequences."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from peng_motif_tpu import alphabets as al
+from peng_motif_tpu.ops.counting import count_patterns
+
+
+def reference_count(seqs, W, both_strands):
+    """Literal transcription of the reference counting semantics: one
+    global position counter with W-gaps between sequences, last-match
+    bookkeeping per canonical id."""
+    n = 4 ** W
+    counter = np.zeros(n, dtype=np.int64)
+    last_match = np.zeros(n, dtype=np.int64)
+    ltot = 0
+    j = W
+    for seq in seqs:
+        L = len(seq)
+        i = 0
+        while i < L:
+            # rebuild id over W valid chars
+            p = 0
+            pid = 0
+            while p < W and i < L and seq[i] > 0:
+                pid += (4 ** p) * (int(seq[i]) - 1)
+                p += 1
+                i += 1
+                j += 1
+            if p < W:
+                i += 1
+                j += 1
+                continue
+            while True:
+                if both_strands:
+                    cid = min(pid, al.base_revcomp_id(pid, W))
+                else:
+                    cid = pid
+                if last_match[cid] + W <= j:
+                    counter[cid] += 1
+                    last_match[cid] = j
+                ltot += 1
+                if i >= L or seq[i] == 0:
+                    break
+                pid //= 4
+                pid += (int(seq[i]) - 1) * (4 ** (W - 1))
+                i += 1
+                j += 1
+            i += 1
+            j += 1
+        j += W
+    if both_strands:
+        for pid in range(n):
+            rc = al.base_revcomp_id(pid, W)
+            if pid > rc:
+                counter[pid] = counter[rc]
+    return counter, ltot
+
+
+def pad(seqs):
+    max_l = max(len(s) for s in seqs)
+    out = np.zeros((len(seqs), max_l + 3), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out
+
+
+def encode(s):
+    return np.array([0 if c == "N" else "ACGT".index(c) + 1 for c in s],
+                    dtype=np.uint8)
+
+
+CASES = [
+    ["AAAAAAAAAAAA"],                      # homopolymer: dedup every W
+    ["ACGTACGTACGTACGT"],                  # period-4 tandem repeat
+    ["ATATATATATATAT"],                    # period-2, palindromic windows
+    ["ACGTNNACGTACGT", "TTTTTTTT"],        # Ns break windows
+    ["ACG"],                               # shorter than W
+    ["TGCATGCATGCA", "GGGGCCCCGGGG", "ACGTACGTAAAA"],
+    ["AATTAATTAATTAATT"],                  # revcomp-equal tandem
+]
+
+
+@pytest.mark.parametrize("strings", CASES)
+@pytest.mark.parametrize("both", [True, False])
+@pytest.mark.parametrize("W", [4, 6])
+def test_count_matches_reference_scan(strings, both, W):
+    seqs = [encode(s) for s in strings]
+    want, want_ltot = reference_count(seqs, W, both)
+    got, got_ltot = count_patterns(jnp.asarray(pad(seqs)), W, both)
+    assert int(got_ltot) == want_ltot
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.int64), want)
+
+
+def test_random_sequences_with_ns():
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        seqs = [
+            rng.integers(0, 5, size=rng.integers(3, 60)).astype(np.uint8)
+            for _ in range(7)
+        ]
+        for W in (4, 6):
+            for both in (True, False):
+                want, want_ltot = reference_count(seqs, W, both)
+                got, got_ltot = count_patterns(jnp.asarray(pad(seqs)), W, both)
+                assert int(got_ltot) == want_ltot
+                np.testing.assert_array_equal(
+                    np.asarray(got, dtype=np.int64), want
+                )
