@@ -135,12 +135,14 @@ def read_fasta(
 
 def load_sequence_set(filepath: str, alphabet: Alphabet = STANDARD) -> SequenceSet:
     """Load via the native C++ parser when available, else pure Python."""
-    try:
-        from .native import parse_fasta_native  # noqa: PLC0415
+    from ..native import parse_fasta_native  # noqa: PLC0415
 
+    try:
         result = parse_fasta_native(filepath, alphabet)
         if result is not None:
             return result
+    except FastaFormatError:
+        raise
     except Exception:
         pass
     return read_fasta(filepath, alphabet)

@@ -1,0 +1,255 @@
+"""Native C++ runtime helpers, built on demand with g++ and bound via
+ctypes (no pybind11 dependency).  Falls back to pure-Python/numpy paths
+when no toolchain is available."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pengnative.cpp")
+_SO = os.path.join(_HERE, "libpengnative.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.zscore_sort_indices.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.zscore_sort_indices.restype = None
+        lib.float_sort_indices_asc.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.float_sort_indices_asc.restype = None
+        lib.parse_fasta_sizes.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.parse_fasta_sizes.restype = ctypes.c_int64
+        lib.parse_fasta_fill.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.parse_fasta_fill.restype = ctypes.c_int64
+        lib.em_optimize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # pwms [M, W, 4] in-out
+            ctypes.POINTER(ctypes.c_float),  # counts [4**W]
+            ctypes.POINTER(ctypes.c_float),  # bg [4**W]
+            ctypes.c_int,                    # n_motifs
+            ctypes.c_int,                    # w
+            ctypes.c_float,                  # saturation factor
+            ctypes.c_float,                  # min threshold
+            ctypes.c_int,                    # max iterations
+            ctypes.c_int,                    # n_threads
+        ]
+        lib.em_optimize_batch.restype = None
+        lib.iupac_aggregate_exact.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # digit batch [B, W]
+            ctypes.c_int,                     # n candidates
+            ctypes.c_int,                     # w
+            ctypes.c_int,                     # both strands
+            ctypes.POINTER(ctypes.c_int32),   # counts table
+            ctypes.POINTER(ctypes.c_float),   # expected table
+            ctypes.POINTER(ctypes.c_float),   # bgp table
+            ctypes.POINTER(ctypes.c_uint64),  # counts out
+            ctypes.POINTER(ctypes.c_float),   # expected out
+            ctypes.POINTER(ctypes.c_float),   # bgp out
+        ]
+        lib.iupac_aggregate_exact.restype = None
+        _lib = lib
+        return _lib
+
+
+def zscore_sort_indices(z: np.ndarray) -> Optional[np.ndarray]:
+    """Descending std::sort of pattern indices by z-score with libstdc++
+    tie placement (matches the reference binary; see pengnative.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(z, dtype=np.float32)
+    out = np.empty(z.shape[0], dtype=np.uint32)
+    lib.zscore_sort_indices(
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_uint64(z.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def em_optimize_native(
+    pwms: np.ndarray,
+    counts_f32: np.ndarray,
+    bg_f32: np.ndarray,
+    saturation_factor: float,
+    min_threshold: float,
+    max_iterations: int,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Bit-exact EM (reference operation order); None when the native
+    library is unavailable.  pwms is [M, W, 4] float32; returns the
+    refined copy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pwms = np.ascontiguousarray(pwms, dtype=np.float32).copy()
+    counts_f32 = np.ascontiguousarray(counts_f32, dtype=np.float32)
+    bg_f32 = np.ascontiguousarray(bg_f32, dtype=np.float32)
+    m, w, _ = pwms.shape
+    if n_threads <= 0:
+        n_threads = min(m, os.cpu_count() or 1)
+    lib.em_optimize_batch(
+        pwms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bg_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(m),
+        ctypes.c_int(w),
+        ctypes.c_float(saturation_factor),
+        ctypes.c_float(min_threshold),
+        ctypes.c_int(max_iterations),
+        ctypes.c_int(n_threads),
+    )
+    return pwms
+
+
+def iupac_aggregate_exact(
+    digit_batch: np.ndarray,
+    both_strands: bool,
+    counts_table: np.ndarray,
+    expected_table: np.ndarray,
+    bgp_table: np.ndarray,
+):
+    """Reference-fold-order aggregation (see pengnative.cpp); None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    digit_batch = np.ascontiguousarray(digit_batch, dtype=np.int32)
+    b, w = digit_batch.shape
+    counts_table = np.ascontiguousarray(counts_table, dtype=np.int32)
+    expected_table = np.ascontiguousarray(expected_table, dtype=np.float32)
+    bgp_table = np.ascontiguousarray(bgp_table, dtype=np.float32)
+    counts_out = np.empty(b, dtype=np.uint64)
+    expected_out = np.empty(b, dtype=np.float32)
+    bgp_out = np.empty(b, dtype=np.float32)
+    lib.iupac_aggregate_exact(
+        digit_batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(b),
+        ctypes.c_int(w),
+        ctypes.c_int(1 if both_strands else 0),
+        counts_table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        expected_table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bgp_table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        expected_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bgp_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return counts_out.astype(np.int64), expected_out, bgp_out
+
+
+def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:
+    """Ascending std::sort permutation (reference motif-sort semantics
+    incl. introsort tie placement); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    out = np.empty(values.shape[0], dtype=np.uint32)
+    lib.float_sort_indices_asc(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_uint64(values.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def parse_fasta_native(filepath: str, alphabet=None):
+    """Fast-path FASTA parse; returns a SequenceSet or None on failure."""
+    from ..alphabets import STANDARD  # noqa: PLC0415
+    from ..io.fasta import FastaFormatError, SequenceSet  # noqa: PLC0415
+
+    if alphabet is not None and alphabet.alphabet_type != "STANDARD":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_seq = ctypes.c_int64()
+    total = ctypes.c_int64()
+    rc = lib.parse_fasta_sizes(filepath.encode(), ctypes.byref(n_seq),
+                               ctypes.byref(total))
+    if rc == -2:
+        raise FastaFormatError(
+            f"FASTA sequence contains space character: {filepath}"
+        )
+    if rc == -3:
+        raise FastaFormatError(f"Wrong FASTA format: {filepath}")
+    if rc != 0:
+        return None
+    codes = np.empty(int(total.value), dtype=np.uint8)
+    lengths = np.empty(int(n_seq.value), dtype=np.int64)
+    base_counts = np.empty(4, dtype=np.int64)
+    rc = lib.parse_fasta_fill(
+        filepath.encode(),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        base_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    sset = SequenceSet(filepath=filepath, alphabet=alphabet or STANDARD)
+    offset = 0
+    for length in lengths:
+        sset.sequences.append(codes[offset : offset + int(length)])
+        sset.headers.append("")
+        offset += int(length)
+    tot = base_counts.sum()
+    sset.base_frequencies = (
+        base_counts.astype(np.float32) / np.float32(tot) if tot else
+        np.zeros(4, dtype=np.float32)
+    )
+    return sset

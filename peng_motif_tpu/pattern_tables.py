@@ -56,6 +56,7 @@ class PatternTables:
         padded_codes: np.ndarray,
         bg_model: BackgroundModel,
         n_sequences: int,
+        mesh=None,
     ):
         self.pattern_length = W = pattern_length
         self.strand = strand
@@ -76,10 +77,18 @@ class PatternTables:
                 t = bgprobs.aggregate_double_strand(t)
             self.bg_tensors.append(t)
 
-        # counting (reference: src/base_pattern.cpp:331-441)
-        counts_flat, ltot = counting.count_patterns(
-            jnp.asarray(padded_codes), W, self.both
-        )
+        # counting (reference: src/base_pattern.cpp:331-441); with a mesh,
+        # sequences shard over the data axis and tables psum (parallel/)
+        if mesh is not None:
+            from .parallel.sharded import count_patterns_sharded  # noqa: PLC0415
+
+            counts_flat, ltot = count_patterns_sharded(
+                padded_codes, W, self.both, mesh
+            )
+        else:
+            counts_flat, ltot = counting.count_patterns(
+                jnp.asarray(padded_codes), W, self.both
+            )
         self.counts_flat = counts_flat
         self.ltot = int(ltot)
         self.counts_tensor = encoding.to_tensor(counts_flat, W)
@@ -114,17 +123,37 @@ class PatternTables:
         self.counts_np = np.asarray(counts_flat)
         self.expected_np = np.asarray(self.expected_flat)
         self.zscores_np = np.asarray(self.zscores_flat)
+        self.bgp_np = np.asarray(bg_k_flat)
         self._logp_np: Optional[np.ndarray] = None
+        # bit-exact reference fold order for IUPAC sums (native path)
+        self.exact_aggregation = True
 
     # -- aggregation -------------------------------------------------------
 
-    def aggregate(self, masks_batch: np.ndarray):
-        """Batched IUPAC aggregation: returns (counts [B] int64,
-        expected [B] f32, bg_p [B] f32)."""
+    def aggregate_digits(self, digit_batch: np.ndarray):
+        """Batched IUPAC aggregation from digit vectors [B, W]: returns
+        (counts [B] int64, expected [B] f32, bg_p [B] f32).
+
+        Strict-parity path: native fold in the reference's summation
+        order (bit-exact, see native/pengnative.cpp).  Fallback / fast
+        path: separable device contractions (ops/iupac_sum.py), exact for
+        counts, last-ulp different for the float sums.
+        """
+        digit_batch = np.asarray(digit_batch, dtype=np.int32)
+        if self.exact_aggregation:
+            from .native import iupac_aggregate_exact  # noqa: PLC0415
+
+            result = iupac_aggregate_exact(
+                digit_batch, self.both, self.counts_np,
+                self.expected_np, self.bgp_np,
+            )
+            if result is not None:
+                return result
+        masks = iupac_sum.IUPAC_MASKS[digit_batch]
         c, f = iupac_sum.aggregate_batch(
             self._agg_counts,
             self._agg_floats,
-            jnp.asarray(masks_batch, dtype=jnp.int32),
+            jnp.asarray(masks, dtype=jnp.int32),
             self.both,
         )
         c = np.asarray(c, dtype=np.int64)
@@ -145,7 +174,12 @@ class PatternTables:
         """Seed score from the base tables
         (reference: src/base_pattern.cpp:210-224)."""
         if score_type == OptimizationScore.LOGPVAL:
-            return np.float32(self.logp_np[pattern])
+            # host recomputation with C++ promotion points (the device
+            # table uses float32 logs; fine for display, not for
+            # tie-sensitive decisions)
+            return numerics.base_log_pvalue(
+                int(self.counts_np[pattern]), self.expected_np[pattern]
+            )
         if score_type == OptimizationScore.ENRICHMENT:
             return numerics.exp_count_fraction(
                 int(self.counts_np[pattern]), self.expected_np[pattern],
@@ -173,15 +207,16 @@ class PatternTables:
         construction; runs on the (small) above-threshold subset."""
         W = self.pattern_length
         z = self.zscores_np
-        above = np.flatnonzero(z >= np.float32(zscore_threshold))
-        # descending z; ties broken by ascending id for determinism
-        order = above[np.argsort(-z[above], kind="stable")]
+        order = self._seed_order(zscore_threshold)
 
         seen = np.zeros(self.number_patterns, dtype=bool)
         selected: List[int] = []
         counts = self.counts_np
+        z_thr = np.float32(zscore_threshold)
         for pattern in order:
             pattern = int(pattern)
+            if z[pattern] < z_thr:
+                break
             if counts[pattern] < count_threshold:
                 continue
             if single_stranded:
@@ -200,6 +235,27 @@ class PatternTables:
                     for letter in range(4):
                         seen[masked + letter * (4 ** p)] = True
         return selected
+
+
+    def _seed_order(self, zscore_threshold: float) -> np.ndarray:
+        """Patterns in descending-z order, ready for the threshold walk.
+
+        Strict-parity path: full std::sort via the native helper, so
+        bitwise z-score ties (every reverse-complement pair) land in the
+        same order as the reference binary's libstdc++ sort
+        (reference: src/base_pattern.cpp:454-458).  Fallback without a
+        toolchain: sort only the above-threshold subset with
+        ascending-id tie-break (documented deviation: may flip seed
+        orientation within a revcomp pair).
+        """
+        from .native import zscore_sort_indices  # noqa: PLC0415
+
+        z = self.zscores_np
+        order = zscore_sort_indices(z)
+        if order is not None:
+            return order
+        above = np.flatnonzero(z >= np.float32(zscore_threshold))
+        return above[np.argsort(-z[above], kind="stable")]
 
 
 def _revcomp_id(pattern: int, length: int) -> int:

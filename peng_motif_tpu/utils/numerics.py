@@ -71,12 +71,16 @@ def iupac_log_pvalue(
     if n_sites == 0:
         return F32(np.inf)
     mu = F32(expected)
-    frac = F32(1.0 - float(mu) / F32(n_sites + 1))
+    # 1 - mu/(n_sites+1): all-float32 expression in the reference
+    frac = F32(F32(1.0) - F32(mu / F32(n_sites + 1)))
     logp = 0.0
     if F32(n_sites) > mu and n_sites > 5 and zscore > 2:
         ns = float(n_sites)
+        # mu/n_sites divides in float32 before the double-precision log
+        # (size_t converts to float in the C++ expression)
+        ratio = F32(mu / F32(n_sites))
         logp = (
-            ns * math.log(float(mu) / ns)
+            ns * math.log(float(ratio))
             + ns
             - float(mu)
             - 0.5 * math.log(6.283 * ns * float(frac) * float(frac))
@@ -92,12 +96,15 @@ def base_log_pvalue(counts: int, expected: np.float32) -> np.float32:
     no z-score condition and no Bonferroni penalty."""
     if counts == 0:
         return F32(np.inf)
-    mu = float(F32(expected))
-    frac = F32(1.0 - mu / F32(counts + 1))
-    if F32(counts) > F32(expected) and counts > 5:
+    mu = F32(expected)
+    # the reference writes the literal 1.0 (double) here, so the
+    # subtraction happens in double before rounding to float
+    frac = F32(1.0 - float(F32(mu / F32(counts + 1))))
+    if F32(counts) > mu and counts > 5:
         n = float(counts)
+        ratio = F32(mu / F32(counts))
         return F32(
-            n * math.log(mu / n) + n - mu
+            n * math.log(float(ratio)) + n - float(mu)
             - 0.5 * math.log(6.283 * n * float(frac) * float(frac))
         )
     return F32(0.0)

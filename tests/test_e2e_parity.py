@@ -1,0 +1,65 @@
+"""End-to-end parity: the full pipeline must produce byte-identical
+MEME/JSON output vs the reference C++ binary on the golden datasets,
+across strands, optimization scores, EM/merging toggles, and PWM modes."""
+
+import os
+
+import pytest
+
+from conftest import GOLDEN_DIR
+
+from peng_motif_tpu.cli import main
+
+
+CASES = [
+    # (golden file stem, argv, check json too)
+    ("mafk100_w8", ["MafK_100seqs.fasta", "-w", "8"], True),
+    ("mafk100_w6", ["MafK_100seqs.fasta", "-w", "6"], True),
+    ("mafk100_w8_plus", ["MafK_100seqs.fasta", "-w", "8", "--strand", "PLUS"], False),
+    ("mafk100_w8_noem", ["MafK_100seqs.fasta", "-w", "8", "--no-em"], False),
+    ("mafk100_w8_logpval",
+     ["MafK_100seqs.fasta", "-w", "8", "--optimization_score", "LOGPVAL"], False),
+    ("mafk100_w8_enrich",
+     ["MafK_100seqs.fasta", "-w", "8", "--optimization_score", "ENRICHMENT"], False),
+    ("mafk100_w8_nomerge_noem",
+     ["MafK_100seqs.fasta", "-w", "8", "--no-merging", "--no-em"], False),
+    ("mafk100_w8_defpwm",
+     ["MafK_100seqs.fasta", "-w", "8", "--use-default-pwm"], False),
+    ("mafk_w8", ["MafK.fasta", "-w", "8"], True),
+    ("mafk_w6_plus", ["MafK.fasta", "-w", "6", "--strand", "PLUS"], False),
+]
+
+
+@pytest.mark.parametrize("stem,args,check_json", CASES,
+                         ids=[c[0] for c in CASES])
+def test_byte_identical_output(stem, args, check_json, tmp_path, capsys):
+    meme_out = str(tmp_path / "out.meme")
+    json_out = str(tmp_path / "out.json")
+    argv = [os.path.join(GOLDEN_DIR, args[0])] + args[1:] + ["-o", meme_out]
+    if check_json:
+        argv += ["-j", json_out]
+    assert main(argv) == 0
+    with open(meme_out, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, f"{stem}.meme"), "rb") as g:
+        assert f.read() == g.read(), f"MEME output differs for {stem}"
+    if check_json:
+        with open(json_out, "rb") as f, \
+                open(os.path.join(GOLDEN_DIR, f"{stem}.json"), "rb") as g:
+            assert f.read() == g.read(), f"JSON output differs for {stem}"
+
+
+@pytest.mark.slow
+def test_byte_identical_w10_default(tmp_path, capsys):
+    """Default -w 10 on the full MafK set (the reference's headline
+    configuration, 15.6 s single-core C++)."""
+    meme_out = str(tmp_path / "out.meme")
+    json_out = str(tmp_path / "out.json")
+    argv = [os.path.join(GOLDEN_DIR, "MafK.fasta"), "-o", meme_out,
+            "-j", json_out]
+    assert main(argv) == 0
+    with open(meme_out, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, "mafk_w10.meme"), "rb") as g:
+        assert f.read() == g.read()
+    with open(json_out, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, "mafk_w10.json"), "rb") as g:
+        assert f.read() == g.read()
