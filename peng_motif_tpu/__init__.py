@@ -8,3 +8,26 @@ broadcast/reduce pipeline.
 """
 
 __version__ = "1.0.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes.  On the tunneled TPU
+    backend a cold compile costs tens of seconds; the cache makes every
+    CLI invocation after the first start hot."""
+    try:
+        import jax  # noqa: PLC0415
+
+        cache_dir = _os.environ.get(
+            "PENG_JAX_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "peng_motif_tpu"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -289,6 +289,191 @@ extern "C" void iupac_aggregate_exact(
   }
 }
 
+// --------------------------------------------------------------------------
+// Optimization scores with exact reference float semantics.
+// (reference: src/utils.h:10-37, src/iupac_pattern.cpp:446-469,648-689)
+// --------------------------------------------------------------------------
+
+namespace {
+
+inline float entropy_f(float p) {
+  return -p * log(p) - (1 - p) * log(1 - p);  // double math, float return
+}
+
+inline float mi_fast(float obs, float expd, unsigned n, float q) {
+  float p_obs = 1 - exp(-(obs / (float)n));
+  float p_exp = 1 - exp(-(expd / (float)n));
+  float p = p_obs * q + p_exp * (1 - q);
+  return -q * entropy_f(p_obs) - (1 - q) * entropy_f(p_exp) + entropy_f(p);
+}
+
+inline float mi_score(float obs, float expd, unsigned n_sequences) {
+  if (obs < expd) return 0;
+  float score = 0;
+  for (float q : {0.5, 0.1, 0.01}) {
+    score += mi_fast(obs, expd, n_sequences, q) / entropy_f(q);
+  }
+  return -score;
+}
+
+// log(8) etc. per IUPAC letter (reference: src/iupac_pattern.cpp:199-210)
+inline const float* log_bonferroni_table() {
+  static float t[11];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 4; i++) t[i] = log(8);
+    for (int i = 4; i < 8; i++) t[i] = log(16);
+    t[8] = t[9] = log(24);
+    t[10] = log(6);
+    init = true;
+  }
+  return t;
+}
+
+inline float iupac_logpval(uint64_t n_sites, float mu, float zscore,
+                           const int32_t* digits, int w) {
+  if (n_sites == 0) return INFINITY;
+  float frac = 1 - mu / (float)(n_sites + 1);
+  float log_pvalue = 0;
+  if ((float)n_sites > mu && n_sites > 5 && zscore > 2) {
+    log_pvalue = (double)n_sites * log(mu / (float)n_sites) + (double)n_sites
+                 - mu - 0.5 * log(6.283 * (double)n_sites * frac * frac);
+  }
+  const float* lb = log_bonferroni_table();
+  for (int p = 0; p < w; p++) log_pvalue += lb[digits[p]];
+  return log_pvalue;
+}
+
+}  // namespace
+
+// Aggregation + statistics + optimization score in one pass.
+// score_type: 0 = LOGPVAL, 1 = ENRICHMENT/ExpCounts, 2 = MUTUAL_INFO.
+extern "C" void iupac_aggregate_score(
+    const int32_t* digit_batch, int n_candidates, int w, int both_strands,
+    const int32_t* counts, const float* expected, const float* bgp,
+    int score_type, uint64_t pseudo_expected, uint32_t n_sequences,
+    uint64_t* counts_out, float* expected_out, float* bgp_out,
+    float* zscore_out, float* logp_out, float* score_out) {
+  iupac_aggregate_exact(digit_batch, n_candidates, w, both_strands, counts,
+                        expected, bgp, counts_out, expected_out, bgp_out);
+  for (int c = 0; c < n_candidates; c++) {
+    uint64_t n_sites = counts_out[c];
+    float mu = expected_out[c];
+    // (counts - mu) is float arithmetic; sqrt(float) promotes to the
+    // global double sqrt in the reference, so the division is double
+    // (reference: src/iupac_pattern.cpp:446)
+    float z = (float)(((float)n_sites - mu) / sqrt((double)mu));
+    zscore_out[c] = z;
+    float lp = iupac_logpval(n_sites, mu, z, digit_batch + (int64_t)c * w, w);
+    logp_out[c] = lp;
+    if (score_type == 0) {
+      score_out[c] = lp;
+    } else if (score_type == 1) {
+      score_out[c] = (mu + (float)pseudo_expected) / (float)n_sites;
+    } else {
+      score_out[c] = mi_score((float)n_sites, mu, n_sequences);
+    }
+  }
+}
+
+// --------------------------------------------------------------------------
+// PWM similarity / merge search with exact reference float semantics
+// (reference: src/iupac_pattern.cpp:539-615).  PWMs are [L, 4] row-major.
+// --------------------------------------------------------------------------
+
+namespace {
+
+inline float calc_d(const float* p1, const float* p2, int off1, int off2,
+                    int l, float eps) {
+  float d = 0;
+  for (int i = 0; i < l; i++) {
+    for (int a = 0; a < 4; a++) {
+      float x1 = p1[(off1 + i) * 4 + a];
+      float x2 = p2[(off2 + i) * 4 + a];
+      float mean = (x1 + x2 + 2 * eps) / 2;
+      d += (x1 + eps) * log2(x1 + eps) + (x2 + eps) * log2(x2 + eps)
+           - 2 * mean * log2(mean);
+    }
+  }
+  return d;
+}
+
+inline float calc_d_bg(const float* p, const float* bg, int l, int off,
+                       float eps) {
+  float d = 0;
+  for (int i = 0; i < l; i++) {
+    for (int a = 0; a < 4; a++) {
+      float x = p[(off + i) * 4 + a];
+      float mean = (x + bg[a] + 2 * eps) / 2;
+      d += (x + eps) * log2(x + eps) + (bg[a] + eps) * log2(bg[a] + eps)
+           - 2 * mean * log2(mean);
+    }
+  }
+  return d;
+}
+
+inline float calc_s(const float* p1, const float* p2, const float* bg,
+                    int off1, int off2, int l) {
+  const float eps = 1E-4;
+  return 0.5f * (calc_d_bg(p1, bg, l, off1, eps)
+                 + calc_d_bg(p2, bg, l, off2, eps))
+         - calc_d(p1, p2, off1, off2, l, eps);
+}
+
+}  // namespace
+
+extern "C" float calculate_s_single(const float* p1, const float* p2,
+                                    const float* bg, int off1, int off2,
+                                    int l) {
+  return calc_s(p1, p2, bg, off1, off2, l);
+}
+
+// Best (s, shift, comp) over all overlaps >= min_overlap for one motif
+// pair (reference: calculate_S, src/iupac_pattern.cpp:568-615).
+extern "C" void calculate_best_overlap_native(
+    const float* pwm1, const float* comp1, int len1, uint64_t sites1,
+    const float* pwm2, const float* comp2, int len2, uint64_t sites2,
+    int both_strands, const float* bg, int min_overlap,
+    float* out_s, int* out_shift, int* out_comp) {
+  const float* pl = pwm1;
+  const float* pl_comp = comp1;
+  const float* ps = pwm2;
+  const float* ps_comp = comp2;
+  int ll = len1, ls = len2;
+  uint64_t sl = sites1, ss = sites2;
+  if (len1 < len2) {
+    pl = pwm2; pl_comp = comp2; ll = len2; sl = sites2;
+    ps = pwm1; ps_comp = comp1; ls = len1; ss = sites1;
+  }
+  float max_s = -INFINITY;
+  int max_shift = -255;
+  int max_comp = 0;
+  int n_comp = both_strands ? 2 : 1;
+  for (int comp = 0; comp < n_comp; comp++) {
+    for (int shift = min_overlap - ls; shift <= ll - min_overlap; shift++) {
+      int off_s = -std::min(shift, 0);
+      int off_l = std::max(shift, 0);
+      int overlap = std::min(ll - off_l, ls - off_s);
+      float s;
+      if (!comp) {
+        s = calc_s(pl, ps, bg, off_l, off_s, overlap);
+      } else if (sl < ss) {
+        s = calc_s(pl_comp, ps, bg, off_l, off_s, overlap);
+      } else {
+        s = calc_s(pl, ps_comp, bg, off_l, off_s, overlap);
+      }
+      if (s > max_s) {
+        max_s = s;
+        max_shift = shift;
+        max_comp = comp;
+      }
+    }
+  }
+  *out_s = max_s;
+  *out_shift = max_shift;
+  *out_comp = max_comp;
+}
+
 namespace {
 
 void em_prob_odds(const float* pwm, const float* bg, int64_t n, int w,

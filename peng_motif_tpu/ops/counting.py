@@ -86,7 +86,11 @@ def _dedup_scan(cids: jax.Array, length: int) -> jax.Array:
         ring_cnt = jnp.concatenate([ring_cnt[:, 1:], counted[:, None]], axis=1)
         return (ring_id, ring_cnt), counted
 
-    init = (jnp.full((B, hist), -2, dtype=jnp.int32),
-            jnp.zeros((B, hist), dtype=jnp.bool_))
+    # derive the init carry from the input so its sharding/varying type
+    # matches under shard_map (a fresh constant carry is 'unvarying' and
+    # rejected inside manual-collective regions)
+    zero_col = cids[:, :1] * 0
+    init = (jnp.tile(zero_col - 2, (1, hist)),
+            jnp.tile(zero_col == 1, (1, hist)))
     _, counted_t = jax.lax.scan(step, init, cids.T)
     return counted_t.T

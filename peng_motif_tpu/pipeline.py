@@ -86,7 +86,7 @@ class Peng:
         max_opt_k: int,
         sequence_set,
         bg_model: BackgroundModel,
-        stdout=sys.stdout,
+        stdout=None,
     ):
         self.strand = strand
         self.k = k
@@ -95,7 +95,8 @@ class Peng:
         self.bg_model = bg_model
         self.n_sequences = sequence_set.n
         self.iupac_profile = build_iupac_profile(bg_model.v[0])
-        self.out = stdout
+        # resolve at call time so redirect_stdout works
+        self.out = stdout if stdout is not None else sys.stdout
         self.log = get_logger()
         self.timer = PhaseTimer()
         # bit-exact EM by default (native path); the pure-TPU EM differs

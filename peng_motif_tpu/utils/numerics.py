@@ -120,11 +120,10 @@ def exp_count_fraction(
 
 def zscore_from_sums(sum_counts: int, sum_expected: np.float32) -> np.float32:
     """(observed - expected) / sqrt(expected)
-    (reference: src/iupac_pattern.cpp:446)."""
-    return F32(
-        F32(F32(sum_counts) - F32(sum_expected))
-        / F32(math.sqrt(float(F32(sum_expected))))
-    )
+    (reference: src/iupac_pattern.cpp:446).  The numerator is a float
+    subtraction; sqrt promotes to double, so the division is double."""
+    num = F32(F32(sum_counts) - F32(sum_expected))
+    return F32(float(num) / math.sqrt(float(F32(sum_expected))))
 
 
 def pwm_info_content(pwm: np.ndarray) -> float:
