@@ -19,6 +19,14 @@ def _enable_compilation_cache():
     try:
         import jax  # noqa: PLC0415
 
+        # the environment's sitecustomize force-registers the tunneled
+        # TPU plugin in every process, which ignores the JAX_PLATFORMS
+        # env var; mirror it into the config so users can still select
+        # a backend the standard way (e.g. JAX_PLATFORMS=cpu)
+        _plat = _os.environ.get("JAX_PLATFORMS")
+        if _plat:
+            jax.config.update("jax_platforms", _plat)
+
         cache_dir = _os.environ.get(
             "PENG_JAX_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "peng_motif_tpu"),

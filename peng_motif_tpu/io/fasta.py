@@ -41,17 +41,26 @@ class SequenceSet:
     def n(self) -> int:
         return len(self.sequences)
 
+    def _lengths(self) -> np.ndarray:
+        cached = getattr(self, "_lengths_cache", None)
+        if cached is None or cached.shape[0] != len(self.sequences):
+            cached = np.array([len(s) for s in self.sequences], dtype=np.int64)
+            object.__setattr__(self, "_lengths_cache", cached)
+        return cached
+
     @property
     def min_l(self) -> int:
-        return min((len(s) for s in self.sequences), default=0)
+        lengths = self._lengths()
+        return int(lengths.min()) if lengths.size else 0
 
     @property
     def max_l(self) -> int:
-        return max((len(s) for s in self.sequences), default=0)
+        lengths = self._lengths()
+        return int(lengths.max()) if lengths.size else 0
 
     @property
     def total_bases(self) -> int:
-        return sum(len(s) for s in self.sequences)
+        return int(self._lengths().sum())
 
     def padded(self, pad_multiple: int = 128) -> np.ndarray:
         """[N, Lmax'] uint8 batch, zero-padded (pad == undefined base, which
@@ -97,8 +106,13 @@ def read_fasta(
         header = None
         chunks = []
 
-    with open(filepath) as f:
-        content = f.read()
+    try:
+        with open(filepath) as f:
+            content = f.read()
+    except OSError:
+        # reference: SequenceSet.cpp:424-427
+        print(f"Error: Cannot open FASTA file: {filepath}", file=sys.stderr)
+        sys.exit(1)
     lines = content.split("\n")
     # Reference quirk, reproduced: getline(...).good() discards a final
     # line that is not newline-terminated (reference:

@@ -69,16 +69,21 @@ class Motif:
 
     def pattern_string(self, iupac_profile: np.ndarray) -> str:
         """Render the PWM as its nearest IUPAC string
-        (reference: src/iupac_pattern.cpp:699-718)."""
-        out = []
-        for i in range(self.length):
-            best, best_d = 0, math.inf
-            for m in range(IUPAC_ALPHABET_SIZE):
-                d = _d_rows(self.pwm[i], iupac_profile[m], epsilon=1e-7)
-                if d < best_d:
-                    best_d, best = d, m
-            out.append(IUPAC_CHARS[best])
-        return "".join(out)
+        (reference: src/iupac_pattern.cpp:699-718).  Vectorized over
+        positions x letters with the scalar path's exact expression
+        order (double terms, float32 mean, left-to-right sum over the 4
+        bases; first minimum wins, like the scalar strict <)."""
+        eps = 1e-7
+        rows = self.pwm.astype(np.float64)[:, None, :]          # [L, 1, 4]
+        profs = np.asarray(iupac_profile, dtype=np.float64)[None, :, :]
+        p1 = rows + eps
+        p2 = profs + eps
+        mean = ((rows + profs + 2 * eps) / 2).astype(F32).astype(np.float64)
+        terms = (p1 * np.log2(p1) + p2 * np.log2(p2)
+                 - 2 * mean * np.log2(mean))                    # [L, 11, 4]
+        d = ((terms[..., 0] + terms[..., 1]) + terms[..., 2]) + terms[..., 3]
+        best = np.argmin(d, axis=1)                             # first min
+        return "".join(IUPAC_CHARS[m] for m in best)
 
     # -- attribute aggregation --------------------------------------------
 
@@ -164,7 +169,9 @@ def _d_rows(row1, row2, epsilon: float) -> float:
 def calculate_d(p1_pwm, p2_pwm, offset1: int, offset2: int, l: int,
                 epsilon: float = 1e-4) -> np.float32:
     """Jensen-Shannon-style divergence between PWM stretches
-    (reference: src/iupac_pattern.cpp:539-549)."""
+    (reference: src/iupac_pattern.cpp:539-549).  Numpy fallback path:
+    accumulates in float64 and rounds once (the native path used by
+    default accumulates per-cell in float32 like the reference)."""
     eps = F32(epsilon)
     r1 = p1_pwm[offset1 : offset1 + l].astype(F32)
     r2 = p2_pwm[offset2 : offset2 + l].astype(F32)
@@ -179,6 +186,12 @@ def calculate_d_bg(p_pwm, background, l: int, offset: int = 0,
                    epsilon: float = 1e-4) -> np.float32:
     """Divergence of a PWM stretch from the background distribution
     (reference: src/iupac_pattern.cpp:551-561)."""
+    if epsilon == 1e-4:
+        from ..native import calculate_d_bg_native  # noqa: PLC0415
+
+        d = calculate_d_bg_native(p_pwm, background, l, offset)
+        if d is not None:
+            return d
     eps = F32(epsilon)
     r1 = p_pwm[offset : offset + l].astype(F32)
     bg32 = np.asarray(background, dtype=F32)[None, :4]
@@ -193,6 +206,11 @@ def calculate_s(p1_pwm, p2_pwm, background, offset1: int, offset2: int,
                 l: int) -> np.float32:
     """S = 0.5*(d_bg(p1)+d_bg(p2)) - d(p1,p2)
     (reference: src/iupac_pattern.cpp:563-566)."""
+    from ..native import calculate_s_native  # noqa: PLC0415
+
+    s = calculate_s_native(p1_pwm, p2_pwm, background, offset1, offset2, l)
+    if s is not None:
+        return s
     return F32(
         F32(0.5)
         * F32(calculate_d_bg(p1_pwm, background, l, offset1)
@@ -210,6 +228,15 @@ def calculate_best_overlap(
     Returns (max_s, max_shift, max_comp) with shifts defined relative to
     the longer pattern.
     """
+    from ..native import best_overlap_native  # noqa: PLC0415
+
+    res = best_overlap_native(
+        m1.pwm, m1.comp_pwm, m1.length, m1.n_sites,
+        m2.pwm, m2.comp_pwm, m2.length, m2.n_sites,
+        both_strands, background, MIN_MERGE_OVERLAP,
+    )
+    if res is not None:
+        return res
     larger, shorter = (m1, m2) if m1.length >= m2.length else (m2, m1)
     max_s = -np.inf
     max_shift = -255

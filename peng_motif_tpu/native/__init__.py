@@ -102,6 +102,37 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),   # bgp out
         ]
         lib.iupac_aggregate_exact.restype = None
+        _f32p = ctypes.POINTER(ctypes.c_float)
+        lib.iupac_aggregate_score.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # digit batch [B, W]
+            ctypes.c_int,                     # n candidates
+            ctypes.c_int,                     # w
+            ctypes.c_int,                     # both strands
+            ctypes.POINTER(ctypes.c_int32),   # counts table
+            _f32p,                            # expected table
+            _f32p,                            # bgp table
+            ctypes.c_int,                     # score type
+            ctypes.c_uint64,                  # pseudo expected
+            ctypes.c_uint32,                  # n sequences
+            ctypes.POINTER(ctypes.c_uint64),  # counts out
+            _f32p, _f32p, _f32p, _f32p, _f32p,  # expected/bgp/z/logp/score
+        ]
+        lib.iupac_aggregate_score.restype = None
+        lib.calculate_s_single.argtypes = [
+            _f32p, _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.calculate_s_single.restype = ctypes.c_float
+        lib.calculate_d_bg_single.argtypes = [
+            _f32p, _f32p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.calculate_d_bg_single.restype = ctypes.c_float
+        lib.calculate_best_overlap_native.argtypes = [
+            _f32p, _f32p, ctypes.c_int, ctypes.c_uint64,
+            _f32p, _f32p, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, _f32p, ctypes.c_int,
+            _f32p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.calculate_best_overlap_native.restype = None
         _lib = lib
         return _lib
 
@@ -190,6 +221,106 @@ def iupac_aggregate_exact(
         bgp_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return counts_out.astype(np.int64), expected_out, bgp_out
+
+
+def iupac_aggregate_score(
+    digit_batch: np.ndarray,
+    both_strands: bool,
+    counts_table: np.ndarray,
+    expected_table: np.ndarray,
+    bgp_table: np.ndarray,
+    score_type: int,
+    pseudo_expected: int,
+    n_sequences: int,
+):
+    """Aggregation + statistics + optimization score in one native pass
+    with exact reference float semantics (see pengnative.cpp).  Returns
+    (counts i64, expected f32, bgp f32, zscore f32, logp f32, score f32)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    digit_batch = np.ascontiguousarray(digit_batch, dtype=np.int32)
+    b, w = digit_batch.shape
+    counts_table = np.ascontiguousarray(counts_table, dtype=np.int32)
+    expected_table = np.ascontiguousarray(expected_table, dtype=np.float32)
+    bgp_table = np.ascontiguousarray(bgp_table, dtype=np.float32)
+    counts_out = np.empty(b, dtype=np.uint64)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    outs = [np.empty(b, dtype=np.float32) for _ in range(5)]
+    lib.iupac_aggregate_score(
+        digit_batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(b),
+        ctypes.c_int(w),
+        ctypes.c_int(1 if both_strands else 0),
+        counts_table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        expected_table.ctypes.data_as(f32),
+        bgp_table.ctypes.data_as(f32),
+        ctypes.c_int(score_type),
+        ctypes.c_uint64(pseudo_expected),
+        ctypes.c_uint32(n_sequences),
+        counts_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        *[o.ctypes.data_as(f32) for o in outs],
+    )
+    return (counts_out.astype(np.int64), *outs)
+
+
+def _f32c(a: np.ndarray):
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def calculate_s_native(p1_pwm, p2_pwm, background, off1: int, off2: int,
+                       l: int) -> Optional[np.float32]:
+    """Reference-float-order PWM similarity (see pengnative.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f32 = ctypes.POINTER(ctypes.c_float)
+    return np.float32(lib.calculate_s_single(
+        _f32c(p1_pwm).ctypes.data_as(f32), _f32c(p2_pwm).ctypes.data_as(f32),
+        _f32c(background).ctypes.data_as(f32),
+        ctypes.c_int(off1), ctypes.c_int(off2), ctypes.c_int(l),
+    ))
+
+
+def calculate_d_bg_native(p_pwm, background, l: int,
+                          offset: int) -> Optional[np.float32]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    f32 = ctypes.POINTER(ctypes.c_float)
+    return np.float32(lib.calculate_d_bg_single(
+        _f32c(p_pwm).ctypes.data_as(f32),
+        _f32c(background).ctypes.data_as(f32),
+        ctypes.c_int(l), ctypes.c_int(offset),
+    ))
+
+
+def best_overlap_native(
+    pwm1, comp1, len1: int, sites1: int,
+    pwm2, comp2, len2: int, sites2: int,
+    both_strands: bool, background, min_overlap: int,
+):
+    """Best (s, shift, comp) over all overlaps for one motif pair
+    (reference: calculate_S, src/iupac_pattern.cpp:568-615); None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f32 = ctypes.POINTER(ctypes.c_float)
+    out_s = ctypes.c_float()
+    out_shift = ctypes.c_int()
+    out_comp = ctypes.c_int()
+    lib.calculate_best_overlap_native(
+        _f32c(pwm1).ctypes.data_as(f32), _f32c(comp1).ctypes.data_as(f32),
+        ctypes.c_int(len1), ctypes.c_uint64(sites1),
+        _f32c(pwm2).ctypes.data_as(f32), _f32c(comp2).ctypes.data_as(f32),
+        ctypes.c_int(len2), ctypes.c_uint64(sites2),
+        ctypes.c_int(1 if both_strands else 0),
+        _f32c(background).ctypes.data_as(f32), ctypes.c_int(min_overlap),
+        ctypes.byref(out_s), ctypes.byref(out_shift), ctypes.byref(out_comp),
+    )
+    return np.float32(out_s.value), int(out_shift.value), bool(out_comp.value)
 
 
 def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:

@@ -428,6 +428,11 @@ extern "C" float calculate_s_single(const float* p1, const float* p2,
   return calc_s(p1, p2, bg, off1, off2, l);
 }
 
+extern "C" float calculate_d_bg_single(const float* p, const float* bg,
+                                       int l, int off) {
+  return calc_d_bg(p, bg, l, off, 1E-4);
+}
+
 // Best (s, shift, comp) over all overlaps >= min_overlap for one motif
 // pair (reference: calculate_S, src/iupac_pattern.cpp:568-615).
 extern "C" void calculate_best_overlap_native(

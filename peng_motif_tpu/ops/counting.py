@@ -5,19 +5,31 @@ Replaces the reference's sequential rolling-hash scan
 
 1. All window ids / reverse complements / validity are computed as dense
    vector ops over the [B, L] code array (``ops.encoding.window_ids``).
-2. The reference's non-overlap rule — a window is counted only if the last
-   *counted* occurrence of the same canonical pattern ended at least W
-   positions earlier (src/base_pattern.cpp:362-366 via last_match_pos) —
-   is sequential per pattern.  Because the reference inserts a W-position
-   gap between sequences (src/base_pattern.cpp:382), blocking can never
-   cross a sequence boundary, so sequences are independent and the rule
-   reduces to: "was a window with the same canonical id counted at any of
-   the previous W-1 window positions of this sequence?".  We carry exactly
-   that: a ring of the last W-1 (canonical id, counted?) pairs per
-   sequence inside one ``lax.scan``, vmapped over the whole batch.
-3. Accepted windows scatter-add into the 4**W count table; in BOTH_STRANDS
-   mode counts are mirrored to reverse-complement ids afterwards
-   (src/base_pattern.cpp:386-392) via the flip/transpose rc permutation.
+2. The reference's non-overlap rule — a window is counted only if no
+   window with the same canonical pattern was *counted* at any of the
+   previous W-1 window positions of the same sequence
+   (src/base_pattern.cpp:362-366 via last_match_pos; the reference
+   inserts a W-position gap between sequences at base_pattern.cpp:382,
+   so blocking never crosses a sequence boundary) — is evaluated in two
+   fully vectorized pieces:
+
+   * the *naive* rule "no same-id window in the previous W-1 positions
+     at all" (W-1 shifted equality compares, no sequential ops).  For a
+     window whose blocker is itself unblocked this equals the exact
+     rule (induction: an unblocked window is always counted).
+   * a *suspicion* flag for rows containing a window whose blocker is
+     itself blocked — the only place naive and exact can diverge
+     (same-pattern occurrence chains with gaps < W, i.e. tandem
+     repeats).  Suspicious rows (rare in genomic data) are re-counted
+     exactly on host and the difference is applied as a sparse delta.
+
+   This keeps the device program free of ``lax.scan``/``while`` (which
+   de-rails both XLA pipelining and remote-backend execution) while
+   remaining bit-exact vs the reference for every input.
+3. Accepted windows scatter-add into the 4**W count table; in
+   BOTH_STRANDS mode counts are mirrored to reverse-complement ids
+   afterwards (src/base_pattern.cpp:386-392) via the flip/transpose rc
+   permutation.
 
 ``ltot`` counts *all* valid windows, including ones rejected by the
 non-overlap rule (src/base_pattern.cpp:367).
@@ -29,28 +41,41 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import encoding
 
 
-@functools.partial(jax.jit, static_argnames=("length", "both_strands"))
-def count_patterns(codes: jax.Array, length: int, both_strands: bool = True):
-    """Count non-overlapping pattern occurrences over a sequence batch.
+def naive_dedup(cids: jax.Array, length: int):
+    """Vectorized dedup approximation + exactness certificate.
 
-    Args:
-      codes: [B, L] BaMM codes (0 = N / padding).
-      length: pattern length W.
-      both_strands: canonicalize ids to min(id, revcomp) and mirror counts.
-
-    Returns:
-      counts: [4**W] int32 count table (mirrored to rc ids when
-        both_strands), ltot: int64 total number of valid windows.
+    cids: [B, NW] canonical ids, -1 for invalid windows.
+    Returns (counted [B, NW] bool, suspicious_rows [B] bool).  Rows with
+    ``suspicious_rows == False`` are provably exact; others need the
+    host-side greedy fix-up (:func:`host_row_recount`).
     """
+    n_win = cids.shape[1]
+    valid = cids >= 0
+    blocked = jnp.zeros_like(valid)
+    max_d = min(length, n_win)
+    for d in range(1, max_d):
+        eq = (cids[:, d:] == cids[:, :-d]) & valid[:, d:] & valid[:, :-d]
+        blocked = blocked | jnp.pad(eq, ((0, 0), (d, 0)))
+    counted = valid & ~blocked
+    suspicious = jnp.zeros(cids.shape[0], dtype=jnp.bool_)
+    for d in range(1, max_d):
+        eq = (cids[:, d:] == cids[:, :-d]) & valid[:, d:] & valid[:, :-d]
+        suspicious = suspicious | (eq & blocked[:, :-d]).any(axis=1)
+    return counted, suspicious
+
+
+@functools.partial(jax.jit, static_argnames=("length", "both_strands"))
+def _count_device(codes: jax.Array, length: int, both_strands: bool):
     fwd, rc, valid = encoding.window_ids(codes, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
 
-    counted = _dedup_scan(cids, length)
+    counted, suspicious = naive_dedup(cids, length)
 
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
@@ -63,34 +88,95 @@ def count_patterns(codes: jax.Array, length: int, both_strands: bool = True):
         counts = encoding.to_flat(tens)
 
     ltot = valid.astype(jnp.int32).sum()
+    return counts, ltot, suspicious
+
+
+def count_patterns_device(codes: jax.Array, length: int,
+                          both_strands: bool = True):
+    """Jit-traceable counting (naive dedup only, no host fix-up): exact
+    whenever no row carries a same-pattern occurrence chain with gaps
+    < W.  Use :func:`count_patterns` for the guaranteed-exact result."""
+    counts, ltot, _ = _count_device(codes, length, both_strands)
     return counts, ltot
 
 
-def _dedup_scan(cids: jax.Array, length: int) -> jax.Array:
-    """Per-sequence exact non-overlap dedup.
+def count_patterns(codes, length: int, both_strands: bool = True):
+    """Count non-overlapping pattern occurrences over a sequence batch.
 
-    cids: [B, NW] canonical ids, -1 for invalid windows.
-    Returns counted: [B, NW] bool.
+    Args:
+      codes: [B, L] BaMM codes (0 = N / padding), numpy or jax array.
+      length: pattern length W.
+      both_strands: canonicalize ids to min(id, revcomp) and mirror counts.
+
+    Returns:
+      counts: [4**W] int32 count table (mirrored to rc ids when
+        both_strands), ltot: int32 total number of valid windows.
     """
-    B = cids.shape[0]
-    hist = length - 1  # windows closer than W positions can block
+    codes = jnp.asarray(codes)
+    counts, ltot, suspicious = _count_device(codes, length, both_strands)
+    susp_np = np.asarray(suspicious)
+    if susp_np.any():
+        counts_np = np.asarray(counts).astype(np.int64)
+        delta: dict = {}
+        rows = np.asarray(codes[np.flatnonzero(susp_np)])
+        for row in rows:
+            for cid, dv in host_row_recount(row, length, both_strands).items():
+                delta[cid] = delta.get(cid, 0) + dv
+        for cid, dv in delta.items():
+            counts_np[cid] += dv
+            if both_strands:
+                rcid = _np_revcomp_id(cid, length)
+                if rcid != cid:
+                    counts_np[rcid] += dv
+        counts = jnp.asarray(counts_np.astype(np.int32))
+    return counts, ltot
 
-    if hist == 0:
-        return cids >= 0
 
-    def step(carry, cid_col):
-        ring_id, ring_cnt = carry  # [B, hist] int32, bool
-        blocked = jnp.any(ring_cnt & (ring_id == cid_col[:, None]), axis=1)
-        counted = (cid_col >= 0) & ~blocked
-        ring_id = jnp.concatenate([ring_id[:, 1:], cid_col[:, None]], axis=1)
-        ring_cnt = jnp.concatenate([ring_cnt[:, 1:], counted[:, None]], axis=1)
-        return (ring_id, ring_cnt), counted
+def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):
+    """Exact greedy recount of one sequence, returned as the sparse count
+    delta {canonical_id: exact - naive} (reference semantics:
+    src/base_pattern.cpp:331-393)."""
+    W = length
+    c = np.asarray(row_codes, dtype=np.int64)
+    n_win = c.shape[0] - W + 1
+    if n_win <= 0:
+        return {}
+    valid = np.ones(n_win, dtype=bool)
+    fwd = np.zeros(n_win, dtype=np.int64)
+    rc = np.zeros(n_win, dtype=np.int64)
+    for p in range(W):
+        cc = c[p : p + n_win]
+        valid &= cc > 0
+        fwd += (cc - 1) * (4 ** p)
+        rc += (4 - cc) * (4 ** (W - 1 - p))
+    cid = np.where(valid, np.minimum(fwd, rc) if both_strands else fwd, -1)
 
-    # derive the init carry from the input so its sharding/varying type
-    # matches under shard_map (a fresh constant carry is 'unvarying' and
-    # rejected inside manual-collective regions)
-    zero_col = cids[:, :1] * 0
-    init = (jnp.tile(zero_col - 2, (1, hist)),
-            jnp.tile(zero_col == 1, (1, hist)))
-    _, counted_t = jax.lax.scan(step, init, cids.T)
-    return counted_t.T
+    blocked = np.zeros(n_win, dtype=bool)
+    for d in range(1, min(W, n_win)):
+        eq = (cid[d:] == cid[:-d]) & (cid[d:] >= 0) & (cid[:-d] >= 0)
+        blocked[d:] |= eq
+    naive = valid & ~blocked
+
+    exact = np.zeros(n_win, dtype=bool)
+    last: dict = {}
+    for j in range(n_win):
+        i = int(cid[j])
+        if i < 0:
+            continue
+        if i not in last or j - last[i] >= W:
+            exact[j] = True
+            last[i] = j
+
+    delta: dict = {}
+    for j in np.flatnonzero(naive != exact):
+        i = int(cid[j])
+        delta[i] = delta.get(i, 0) + (1 if exact[j] else -1)
+    return delta
+
+
+def _np_revcomp_id(pattern: int, length: int) -> int:
+    out = 0
+    for p in range(length):
+        c = (pattern >> (2 * p)) & 3
+        out += (3 - c) * (4 ** (length - 1 - p))
+    return out

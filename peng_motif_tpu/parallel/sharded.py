@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import encoding
-from ..ops.counting import _dedup_scan
+from ..ops.counting import host_row_recount, naive_dedup
 
 
 def _pad_batch(codes: np.ndarray, n_shards: int) -> np.ndarray:
@@ -38,7 +38,10 @@ def count_patterns_sharded(
     """Count patterns with sequences sharded across ``mesh``'s data axis.
 
     Per-shard results are exact (the dedup rule never crosses sequence
-    boundaries, see ops/counting.py), so a single psum reproduces the
+    boundaries, see ops/counting.py): each shard evaluates the
+    vectorized naive rule + suspicion certificate, tables psum over the
+    mesh, and the (rare) suspicious rows are exactly re-counted on host
+    and applied as a sparse delta before the rc mirror — reproducing the
     serial table bit-for-bit.
     """
     n_shards = mesh.devices.size
@@ -48,7 +51,7 @@ def count_patterns_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=P("data", None),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P("data")),
     )
     def shard_count(shard_codes):
         fwd, rc, valid = encoding.window_ids(shard_codes, length)
@@ -56,7 +59,7 @@ def count_patterns_sharded(
             cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
         else:
             cids = jnp.where(valid, fwd, -1)
-        counted = _dedup_scan(cids, length)
+        counted, suspicious = naive_dedup(cids, length)
         flat_ids = jnp.where(counted, cids, 0).reshape(-1)
         flat_inc = counted.reshape(-1).astype(jnp.int32)
         local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
@@ -64,12 +67,26 @@ def count_patterns_sharded(
         return (
             jax.lax.psum(local, "data"),
             jax.lax.psum(local_ltot, "data"),
+            suspicious,
         )
 
     arr = jax.device_put(
         jnp.asarray(codes), NamedSharding(mesh, P("data", None))
     )
-    counts, ltot = jax.jit(shard_count)(arr)
+    counts, ltot, suspicious = jax.jit(shard_count)(arr)
+
+    susp_np = np.asarray(suspicious)
+    if susp_np.any():
+        counts_np = np.asarray(counts).astype(np.int64)
+        delta: dict = {}
+        for r in np.flatnonzero(susp_np):
+            for cid, dv in host_row_recount(
+                codes[r], length, both_strands
+            ).items():
+                delta[cid] = delta.get(cid, 0) + dv
+        for cid, dv in delta.items():
+            counts_np[cid] += dv
+        counts = jnp.asarray(counts_np.astype(np.int32))
 
     if both_strands:
         tens = encoding.to_tensor(counts, length)

@@ -160,6 +160,21 @@ class PatternTables:
         f = np.asarray(f)
         return c, f[:, 0], f[:, 1]
 
+    def aggregate_and_score(
+        self, digit_batch: np.ndarray, score_type, pseudo_expected: int
+    ):
+        """Single native pass: aggregation + statistics + optimization
+        score for a candidate batch (bit-exact reference semantics; see
+        pengnative.cpp).  Returns (counts, expected, bgp, zscore, logp,
+        score) arrays or None when the native library is unavailable."""
+        from .native import iupac_aggregate_score  # noqa: PLC0415
+
+        return iupac_aggregate_score(
+            np.asarray(digit_batch, dtype=np.int32), self.both,
+            self.counts_np, self.expected_np, self.bgp_np,
+            score_type.value, pseudo_expected, self.n_sequences,
+        )
+
     # -- per-pattern host-side accessors ----------------------------------
 
     @property

@@ -225,26 +225,47 @@ class Peng:
                         d = mother_digits.copy()
                         d[p] = r
                         cand_digits.append(d)
-                counts, expected, bgp = tables.aggregate_digits(
-                    np.stack(cand_digits)
+                agg = tables.aggregate_and_score(
+                    np.stack(cand_digits), score_type, pseudo_expected
                 )
+                if agg is not None:
+                    # native single pass: stats + score already computed
+                    counts, expected, bgp, zs, logp, scores = agg
+                    for idx, mutated in enumerate(cand_ids):
+                        current_seen.add(mutated)
+                        if scores[idx] < best_score:
+                            improved = True
+                            best_score = scores[idx]
+                            mutant = Motif(mutated, W)
+                            mutant.bg_p = bgp[idx]
+                            mutant.expected_counts = expected[idx]
+                            mutant.zscore = zs[idx]
+                            mutant.n_sites = int(counts[idx])
+                            mutant.local_n_sites[:] = mutant.n_sites
+                            mutant.log_pvalue = logp[idx]
+                            best = mutant
+                            self._print_climb_row(best, best_score)
+                else:
+                    counts, expected, bgp = tables.aggregate_digits(
+                        np.stack(cand_digits)
+                    )
 
-                # sequential comparison in reference candidate order
-                for idx, mutated in enumerate(cand_ids):
-                    mutant = Motif(mutated, W)
-                    mutant.set_aggregates(
-                        int(counts[idx]), expected[idx], bgp[idx],
-                        LOG_BONFERRONI,
-                    )
-                    current_seen.add(mutated)
-                    curr_score = mutant.optimization_score(
-                        score_type, pseudo_expected, self.n_sequences
-                    )
-                    if curr_score < best_score:
-                        improved = True
-                        best_score = curr_score
-                        best = mutant
-                        self._print_climb_row(best, best_score)
+                    # sequential comparison in reference candidate order
+                    for idx, mutated in enumerate(cand_ids):
+                        mutant = Motif(mutated, W)
+                        mutant.set_aggregates(
+                            int(counts[idx]), expected[idx], bgp[idx],
+                            LOG_BONFERRONI,
+                        )
+                        current_seen.add(mutated)
+                        curr_score = mutant.optimization_score(
+                            score_type, pseudo_expected, self.n_sequences
+                        )
+                        if curr_score < best_score:
+                            improved = True
+                            best_score = curr_score
+                            best = mutant
+                            self._print_climb_row(best, best_score)
 
                 if best.pattern_id in seen:
                     improved = False
