@@ -316,11 +316,20 @@ def main(argv=None):
         max_optimized_patterns=cfg["max_optimized_patterns"],
         max_merged_length=cfg["max_merged_length"],
         mesh=mesh,
+        save_checkpoint=cfg["save_checkpoint"],
+        load_checkpoint=cfg["load_checkpoint"],
+        threads=cfg["threads"] if cfg["threads"] > 1 else 0,
     )
 
-    with jax_profile(cfg["profile"]):
-        result = peng.process(params)
-        peng.filter_redundancy(cfg["bit_factor_merge_threshold"], result)
+    from .checkpoint import CheckpointError
+
+    try:
+        with jax_profile(cfg["profile"]):
+            result = peng.process(params)
+            peng.filter_redundancy(cfg["bit_factor_merge_threshold"], result)
+    except CheckpointError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
 
     if cfg["output"]:
         write_meme(result, cfg["output"], bg_model.v[0], peng.iupac_profile)

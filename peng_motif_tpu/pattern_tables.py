@@ -57,6 +57,7 @@ class PatternTables:
         bg_model: BackgroundModel,
         n_sequences: int,
         mesh=None,
+        precomputed=None,
     ):
         self.pattern_length = W = pattern_length
         self.strand = strand
@@ -78,8 +79,13 @@ class PatternTables:
             self.bg_tensors.append(t)
 
         # counting (reference: src/base_pattern.cpp:331-441); with a mesh,
-        # sequences shard over the data axis and tables psum (parallel/)
-        if mesh is not None:
+        # sequences shard over the data axis and tables psum (parallel/);
+        # a checkpointed table skips the input scan entirely
+        if precomputed is not None:
+            counts_flat = jnp.asarray(
+                np.asarray(precomputed[0], dtype=np.int32))
+            ltot = int(precomputed[1])
+        elif mesh is not None:
             from .parallel.sharded import count_patterns_sharded  # noqa: PLC0415
 
             counts_flat, ltot = count_patterns_sharded(

@@ -74,6 +74,9 @@ class PengParameters:
     # TPU-native extensions
     mesh: Optional[object] = None          # jax Mesh for sharded counting
     profile_dir: Optional[str] = None      # JAX profiler trace output
+    save_checkpoint: Optional[str] = None  # persist count table + bg model
+    load_checkpoint: Optional[str] = None  # resume from a persisted table
+    threads: int = 0                       # native-kernel threads (0 = auto)
 
 
 class Peng:
@@ -113,11 +116,29 @@ class Peng:
         current_k = min(W - 1, self.k)
         current_max_k = min(W - 1, self.max_k)
 
+        precomputed = None
+        if params.load_checkpoint:
+            from .checkpoint import load_checkpoint  # noqa: PLC0415
+
+            loaded = load_checkpoint(
+                params.load_checkpoint, W, self.strand.name)
+            if loaded is not None:
+                counts_np, ltot, _bg = loaded
+                precomputed = (counts_np, ltot)
+
         with self.timer.phase("count"):
             tables = PatternTables(
                 W, self.strand, current_k, current_max_k,
                 self.sequence_set.padded(), self.bg_model, self.n_sequences,
-                mesh=params.mesh,
+                mesh=params.mesh, precomputed=precomputed,
+            )
+
+        if params.save_checkpoint:
+            from .checkpoint import save_checkpoint  # noqa: PLC0415
+
+            save_checkpoint(
+                params.save_checkpoint, W, self.strand.name,
+                tables.counts_np, tables.ltot, self.bg_model,
             )
 
         selected = tables.select_base_patterns(
@@ -163,7 +184,7 @@ class Peng:
                 optimized = self._em_optimize(
                     candidates, tables,
                     params.em_saturation_factor, params.em_min_threshold,
-                    params.em_max_iterations, background,
+                    params.em_max_iterations, background, params.threads,
                 )
             else:
                 optimized = candidates
@@ -382,6 +403,7 @@ class Peng:
         min_threshold: float,
         max_iterations: int,
         background_order: int,
+        threads: int = 0,
     ) -> List[Motif]:
         if not motifs:
             return []
@@ -399,6 +421,7 @@ class Peng:
                 tables.counts_np.astype(np.float32),
                 np.asarray(tables.bg_tensors[background_order]).reshape(-1),
                 saturation_factor, min_threshold, max_iterations,
+                n_threads=threads,
             )
         if final_pwms is None:
             counts_f = tables.counts_tensor.astype(jnp.float32)
