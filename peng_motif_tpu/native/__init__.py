@@ -133,6 +133,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _f32p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.calculate_best_overlap_native.restype = None
+        lib.base_log_pvalues_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), _f32p, ctypes.c_int64, _f32p,
+        ]
+        lib.base_log_pvalues_table.restype = None
         _lib = lib
         return _lib
 
@@ -267,6 +271,25 @@ def iupac_aggregate_score(
 
 def _f32c(a: np.ndarray):
     return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def base_log_pvalues_native(counts: np.ndarray,
+                            expected: np.ndarray) -> Optional[np.ndarray]:
+    """Whole-table log p-values with the reference binary's exact libm
+    semantics (see pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    expected = np.ascontiguousarray(expected, dtype=np.float32)
+    out = np.empty(counts.shape[0], dtype=np.float32)
+    lib.base_log_pvalues_table(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        expected.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(counts.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def calculate_s_native(p1_pwm, p2_pwm, background, off1: int, off2: int,

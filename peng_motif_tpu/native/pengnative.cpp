@@ -433,6 +433,29 @@ extern "C" float calculate_d_bg_single(const float* p, const float* bg,
   return calc_d_bg(p, bg, l, off, 1E-4);
 }
 
+// Per-pattern log p-values over the whole table with exact reference
+// float/double semantics incl. glibc log
+// (reference: src/base_pattern.cpp:231-250).
+extern "C" void base_log_pvalues_table(const int32_t* counts,
+                                       const float* expected, int64_t n,
+                                       float* out) {
+  for (int64_t i = 0; i < n; i++) {
+    size_t counter = (size_t)counts[i];
+    if (counter == 0) {
+      out[i] = INFINITY;
+      continue;
+    }
+    float mu = expected[i];
+    float frac = 1.0 - mu / (counter + 1);
+    if (counter > mu && counter > 5) {
+      out[i] = counter * log(mu / counter) + counter - mu
+               - 0.5 * log(6.283 * counter * frac * frac);
+    } else {
+      out[i] = 0;
+    }
+  }
+}
+
 // Best (s, shift, comp) over all overlaps >= min_overlap for one motif
 // pair (reference: calculate_S, src/iupac_pattern.cpp:568-615).
 extern "C" void calculate_best_overlap_native(

@@ -68,3 +68,81 @@ def aggregate_double_strand(prob: jax.Array) -> jax.Array:
     ids = encoding.pattern_ids_tensor(length)
     rc_ids = encoding.rc_permute(ids)
     return jnp.where(ids == rc_ids, prob, prob + encoding.rc_permute(prob))
+
+
+# host float32 path ---------------------------------------------------------
+#
+# The bg tables seed every float statistic downstream (expected counts,
+# z-scores, p-values, EM odds); byte-parity with the reference binary
+# requires each entry to be the product of the same float32-rounded
+# multiply chain.  XLA preserves elementwise float semantics, but its
+# fusion choices (e.g. rematerializing a permuted read as a different
+# chain) are not contractual across program boundaries — so the parity-
+# critical tables are built here on host, where the operation order is
+# explicit, and the device keeps only the integer counting.
+
+import numpy as np  # noqa: E402
+
+_rev4_cache: dict = {}
+_ids_cache: dict = {}
+_rc_id_cache: dict = {}
+
+
+def _rev4_table(k_eff: int) -> np.ndarray:
+    """Reverse-base4 permutation of (k_eff+1)-digit numbers: converts a
+    pattern-id little-endian sub-word into the BaMM big-endian kmer id
+    (reference id layouts: src/base_pattern.h:20-29 vs 88-107)."""
+    if k_eff not in _rev4_cache:
+        n = k_eff + 1
+        sub = np.arange(4 ** n, dtype=np.int32)
+        out = np.zeros(4 ** n, dtype=np.int32)
+        for j in range(n):
+            out += ((sub >> (2 * j)) & 3) << (2 * (n - 1 - j))
+        _rev4_cache[k_eff] = out
+    return _rev4_cache[k_eff]
+
+
+def _np_ids(length: int) -> np.ndarray:
+    if length not in _ids_cache:
+        _ids_cache[length] = np.arange(4 ** length, dtype=np.int32)
+    return _ids_cache[length]
+
+
+def np_rc_ids(length: int) -> np.ndarray:
+    """rc(id) = base4-reverse of the per-digit complement
+    (reference: src/base_pattern.cpp:119-144)."""
+    if length not in _rc_id_cache:
+        comp = (~_np_ids(length)) & np.int32(4 ** length - 1)
+        out = np.zeros(4 ** length, dtype=np.int32)
+        for p in range(length):
+            out |= ((comp >> np.int32(2 * p)) & np.int32(3)) << np.int32(
+                2 * (length - 1 - p))
+        _rc_id_cache[length] = out
+    return _rc_id_cache[length]
+
+
+def host_bg_prob_flat(v, length: int, order: int) -> np.ndarray:
+    """float32 background probabilities, multiplied in the reference's
+    left-to-right position order (reference: src/base_pattern.cpp:285-325
+    rounds after every factor)."""
+    ids = _np_ids(length)
+    p = np.ones(4 ** length, dtype=np.float32)
+    for pos in range(length):
+        k_eff = min(pos, order)
+        vk = np.asarray(v[k_eff], dtype=np.float32)
+        sub = (ids >> np.int32(2 * (pos - k_eff))) & np.int32(
+            4 ** (k_eff + 1) - 1)
+        p *= vk[_rev4_table(k_eff)[sub]]
+    return p
+
+
+def host_aggregate_double_strand_flat(p: np.ndarray,
+                                      length: int) -> np.ndarray:
+    """In the reference's in-place walk both strands' slots end up with
+    p[min] + p[max] (src/base_pattern.cpp:268-283); a single correctly-
+    rounded float32 add is order-independent, so one vectorized pass
+    reproduces it."""
+    rc = np_rc_ids(length)
+    rc_vals = p[rc]
+    ids = np.arange(p.shape[0], dtype=rc.dtype)
+    return np.where(ids == rc, p, p + rc_vals).astype(np.float32)

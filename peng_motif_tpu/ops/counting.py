@@ -117,19 +117,36 @@ def count_patterns(codes, length: int, both_strands: bool = True):
     susp_np = np.asarray(suspicious)
     if susp_np.any():
         counts_np = np.asarray(counts).astype(np.int64)
-        delta: dict = {}
-        rows = np.asarray(codes[np.flatnonzero(susp_np)])
-        for row in rows:
-            for cid, dv in host_row_recount(row, length, both_strands).items():
-                delta[cid] = delta.get(cid, 0) + dv
-        for cid, dv in delta.items():
-            counts_np[cid] += dv
-            if both_strands:
-                rcid = _np_revcomp_id(cid, length)
-                if rcid != cid:
-                    counts_np[rcid] += dv
+        apply_dedup_fixup(counts_np, codes, susp_np, length, both_strands)
         counts = jnp.asarray(counts_np.astype(np.int32))
     return counts, ltot
+
+
+def apply_dedup_fixup(
+    counts_np: np.ndarray,
+    codes,
+    susp_np: np.ndarray,
+    length: int,
+    both_strands: bool,
+):
+    """Exactly re-count the suspicious rows on host and apply the sparse
+    delta in place to a (post-mirror) count table.  Returns the list of
+    corrected pattern ids (canonical + mirrored)."""
+    delta: dict = {}
+    rows = np.asarray(codes[np.flatnonzero(susp_np)])
+    for row in rows:
+        for cid, dv in host_row_recount(row, length, both_strands).items():
+            delta[cid] = delta.get(cid, 0) + dv
+    touched = []
+    for cid, dv in delta.items():
+        counts_np[cid] += dv
+        touched.append(cid)
+        if both_strands:
+            rcid = _np_revcomp_id(cid, length)
+            if rcid != cid:
+                counts_np[rcid] += dv
+                touched.append(rcid)
+    return touched
 
 
 def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):

@@ -18,7 +18,7 @@ import numpy as np
 
 from .alphabets import base_id_to_string
 from .models.background import BackgroundModel
-from .ops import bgprobs, counting, encoding, iupac_sum, stats
+from .ops import bgprobs, counting, encoding, iupac_sum
 from .utils import numerics
 
 
@@ -36,6 +36,40 @@ class OptimizationScore(Enum):
 @dataclass
 class SeedSelection:
     patterns: List[int]
+
+
+class _LazyBgTensors:
+    """Per-order background probability tables, computed on demand.
+
+    Parity-critical float tables are built on host in the reference's
+    exact multiply order (ops/bgprobs.py host path) so downstream float
+    statistics never depend on XLA fusion choices; the device view is a
+    plain upload of the host table (reference: src/base_pattern.cpp:42-49
+    builds all orders eagerly).
+    """
+
+    def __init__(self, v_host, length: int, both: bool):
+        self._v_host = v_host
+        self._length = length
+        self._both = both
+        self._host: dict = {}
+        self._dev: dict = {}
+
+    def __getitem__(self, order: int) -> jax.Array:
+        if order not in self._dev:
+            self._dev[order] = encoding.to_tensor(
+                jnp.asarray(self.host_flat(order)), self._length)
+        return self._dev[order]
+
+    def host_flat(self, order: int) -> np.ndarray:
+        if order not in self._host:
+            p = bgprobs.host_bg_prob_flat(
+                self._v_host, self._length, order)
+            if self._both:
+                p = bgprobs.host_aggregate_double_strand_flat(
+                    p, self._length)
+            self._host[order] = p
+        return self._host[order]
 
 
 class PatternTables:
@@ -67,72 +101,110 @@ class PatternTables:
         self.number_patterns = 4 ** W
         self.both = strand == Strand.BOTH_STRANDS
 
-        v_dev = [jnp.asarray(vk) for vk in bg_model.v[: self.max_k + 1]]
+        v_host = [np.asarray(vk, dtype=np.float32)
+                  for vk in bg_model.v[: self.max_k + 1]]
+        self.bg_tensors = _LazyBgTensors(v_host, W, self.both)
 
-        # background probability tensors per order (strand-aggregated in
-        # BOTH_STRANDS mode, reference: src/base_pattern.cpp:42-49)
-        self.bg_tensors: List[jax.Array] = []
-        for order in range(self.max_k + 1):
-            t = bgprobs.bg_prob_table(v_dev[: order + 1], W, order)
-            if self.both:
-                t = bgprobs.aggregate_double_strand(t)
-            self.bg_tensors.append(t)
-
-        # counting (reference: src/base_pattern.cpp:331-441); with a mesh,
+        # counting (reference: src/base_pattern.cpp:331-441) is the only
+        # device program — one dispatch, one result fetch (the tunneled
+        # TPU backend pays tens of ms per round trip).  With a mesh,
         # sequences shard over the data axis and tables psum (parallel/);
-        # a checkpointed table skips the input scan entirely
+        # a checkpointed table skips the input scan entirely.
+        counts_flat = None
         if precomputed is not None:
-            counts_flat = jnp.asarray(
-                np.asarray(precomputed[0], dtype=np.int32))
-            ltot = int(precomputed[1])
+            self.counts_np = np.asarray(precomputed[0], dtype=np.int32)
+            self.ltot = int(precomputed[1])
         elif mesh is not None:
             from .parallel.sharded import count_patterns_sharded  # noqa: PLC0415
 
             counts_flat, ltot = count_patterns_sharded(
                 padded_codes, W, self.both, mesh
             )
+            self.counts_np = np.asarray(counts_flat)
+            self.ltot = int(ltot)
         else:
-            counts_flat, ltot = counting.count_patterns(
-                jnp.asarray(padded_codes), W, self.both
-            )
-        self.counts_flat = counts_flat
-        self.ltot = int(ltot)
-        self.counts_tensor = encoding.to_tensor(counts_flat, W)
+            codes_dev = jnp.asarray(padded_codes)
+            counts_dev, ltot_arr, susp = counting._count_device(
+                codes_dev, W, self.both)
+            self.counts_np, ltot_v, susp_np = jax.device_get(
+                (counts_dev, ltot_arr, susp))
+            self.ltot = int(ltot_v)
+            counts_flat = counts_dev
+            # exact dedup fix-up for rows with same-pattern repeat
+            # chains (see ops/counting.py)
+            if susp_np.any():
+                counts64 = self.counts_np.astype(np.int64)
+                counting.apply_dedup_fixup(
+                    counts64, codes_dev, susp_np, W, self.both)
+                self.counts_np = counts64.astype(np.int32)
+                counts_flat = None  # stale on device; re-upload lazily
 
-        # stats (reference: src/base_pattern.cpp:56-63)
-        bg_k_flat = encoding.to_flat(self.bg_tensors[self.k])
-        self.expected_flat = stats.expected_counts(
-            bg_k_flat, jnp.asarray(float(self.ltot), dtype=jnp.float32)
-        )
-        self.zscores_flat = stats.zscores(counts_flat, self.expected_flat)
-        self.logp_flat = stats.log_pvalues(counts_flat, self.expected_flat)
+        # float statistics, built host-side in the reference's exact
+        # operation order (reference: src/base_pattern.cpp:56-63);
+        # single float32 ops (mul/sub/div/sqrt) are correctly rounded
+        # everywhere, and log goes through the native helper for the
+        # reference binary's exact libm
+        self.bgp_np = self.bg_tensors.host_flat(self.k)
+        self.expected_np = self.bgp_np * np.float32(self.ltot)
+        counts_f = self.counts_np.astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.zscores_np = (
+                (counts_f - self.expected_np) / np.sqrt(self.expected_np)
+            ).astype(np.float32)
+        from .native import base_log_pvalues_native  # noqa: PLC0415
 
-        # aggregation inputs: canonical-masked tables (see ops/iupac_sum.py)
-        if self.both:
-            canon = encoding.canonical_mask(W)
-            counts_c = jnp.where(canon, self.counts_tensor, 0)
-            float_stack = jnp.stack(
-                [
-                    jnp.where(canon, encoding.to_tensor(self.expected_flat, W), 0.0),
-                    jnp.where(canon, self.bg_tensors[self.k], 0.0),
-                ]
-            )
-        else:
-            counts_c = self.counts_tensor
-            float_stack = jnp.stack(
-                [encoding.to_tensor(self.expected_flat, W), self.bg_tensors[self.k]]
-            )
-        self._agg_counts = counts_c
-        self._agg_floats = float_stack
+        logp = base_log_pvalues_native(self.counts_np, self.expected_np)
+        if logp is None:
+            # numpy fallback (may deviate by an ulp where numpy's log
+            # differs from libm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                n = counts_f
+                mu = self.expected_np
+                frac = (1.0 - mu / (n + 1)).astype(np.float32)
+                body = (n * np.log((mu / n).astype(np.float32)) + n - mu
+                        - 0.5 * np.log(6.283 * n * frac * frac))
+                logp = np.where((n > mu) & (n > 5), body, 0.0)
+                logp = np.where(
+                    self.counts_np == 0, np.inf, logp
+                ).astype(np.float32)
+        self._logp_np = logp
 
-        # host mirrors for sequential decision logic
-        self.counts_np = np.asarray(counts_flat)
-        self.expected_np = np.asarray(self.expected_flat)
-        self.zscores_np = np.asarray(self.zscores_flat)
-        self.bgp_np = np.asarray(bg_k_flat)
-        self._logp_np: Optional[np.ndarray] = None
+        self._counts_flat_cache = counts_flat
         # bit-exact reference fold order for IUPAC sums (native path)
         self.exact_aggregation = True
+        self._agg_cache = None
+
+    @property
+    def counts_flat(self) -> jax.Array:
+        if self._counts_flat_cache is None:
+            self._counts_flat_cache = jnp.asarray(self.counts_np)
+        return self._counts_flat_cache
+
+    @property
+    def counts_tensor(self) -> jax.Array:
+        return encoding.to_tensor(self.counts_flat, self.pattern_length)
+
+    @property
+    def _agg_tensors(self):
+        """Device inputs for the fallback (non-native) aggregation path:
+        canonical-masked count / expected / bg tensors."""
+        if self._agg_cache is None:
+            W = self.pattern_length
+            expected_t = encoding.to_tensor(
+                jnp.asarray(self.expected_np), W)
+            bg_t = self.bg_tensors[self.k]
+            if self.both:
+                canon = encoding.canonical_mask(W)
+                counts_c = jnp.where(canon, self.counts_tensor, 0)
+                float_stack = jnp.stack(
+                    [jnp.where(canon, expected_t, 0.0),
+                     jnp.where(canon, bg_t, 0.0)]
+                )
+            else:
+                counts_c = self.counts_tensor
+                float_stack = jnp.stack([expected_t, bg_t])
+            self._agg_cache = (counts_c, float_stack)
+        return self._agg_cache
 
     # -- aggregation -------------------------------------------------------
 
@@ -156,9 +228,10 @@ class PatternTables:
             if result is not None:
                 return result
         masks = iupac_sum.IUPAC_MASKS[digit_batch]
+        agg_counts, agg_floats = self._agg_tensors
         c, f = iupac_sum.aggregate_batch(
-            self._agg_counts,
-            self._agg_floats,
+            agg_counts,
+            agg_floats,
             jnp.asarray(masks, dtype=jnp.int32),
             self.both,
         )
@@ -185,8 +258,6 @@ class PatternTables:
 
     @property
     def logp_np(self) -> np.ndarray:
-        if self._logp_np is None:
-            self._logp_np = np.asarray(self.logp_flat)
         return self._logp_np
 
     def optimization_score(

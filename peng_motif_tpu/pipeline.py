@@ -419,7 +419,7 @@ class Peng:
             final_pwms = em_optimize_native(
                 pwms_np,
                 tables.counts_np.astype(np.float32),
-                np.asarray(tables.bg_tensors[background_order]).reshape(-1),
+                tables.bg_tensors.host_flat(background_order),
                 saturation_factor, min_threshold, max_iterations,
                 n_threads=threads,
             )
