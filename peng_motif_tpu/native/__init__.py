@@ -22,8 +22,11 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # -O3 without -ffast-math/-march: float semantics must stay exactly
+    # IEEE (byte-parity depends on it) and the prebuilt .so may run on a
+    # different host generation
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -137,6 +140,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), _f32p, ctypes.c_int64, _f32p,
         ]
         lib.base_log_pvalues_table.restype = None
+        lib.bg_prob_table_native.argtypes = [
+            _f32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _f32p,
+        ]
+        lib.bg_prob_table_native.restype = None
         _lib = lib
         return _lib
 
@@ -271,6 +279,31 @@ def iupac_aggregate_score(
 
 def _f32c(a: np.ndarray):
     return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def bg_prob_table_native_fn(v_list, length: int, order: int,
+                            both_strands: bool) -> Optional[np.ndarray]:
+    """Threaded native bg-probability table (exact reference multiply
+    order; see pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v_concat = np.concatenate(
+        [np.ascontiguousarray(v, dtype=np.float32) for v in v_list])
+    v_off = np.zeros(order + 1, dtype=np.int64)
+    acc = 0
+    for k in range(order + 1):
+        v_off[k] = acc
+        acc += 4 ** (k + 1)
+    out = np.empty(4 ** length, dtype=np.float32)
+    lib.bg_prob_table_native(
+        v_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(order), ctypes.c_int(length),
+        ctypes.c_int(1 if both_strands else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def base_log_pvalues_native(counts: np.ndarray,

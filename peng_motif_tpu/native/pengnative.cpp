@@ -25,6 +25,7 @@
 #include <string>
 #include <vector>
 #include <cmath>
+#include <atomic>
 #include <thread>
 
 extern "C" {
@@ -244,12 +245,15 @@ void expand_iupac(const int32_t* digits, int w, std::vector<int64_t>& out) {
 // vectors.  counts is the mirrored int32 table; expected/bgp are the
 // (strand-aggregated) float tables.  Outputs per candidate:
 // counts_out (u64), expected_out (f32), bgp_out (f32).
-extern "C" void iupac_aggregate_exact(
-    const int32_t* digit_batch, int n_candidates, int w, int both_strands,
+namespace {
+
+// one candidate's aggregation; ids is a reusable scratch buffer
+void aggregate_one(
+    const int32_t* digit_batch, int c, int w, int both_strands,
     const int32_t* counts, const float* expected, const float* bgp,
-    uint64_t* counts_out, float* expected_out, float* bgp_out) {
-  std::vector<int64_t> ids;
-  for (int c = 0; c < n_candidates; c++) {
+    uint64_t* counts_out, float* expected_out, float* bgp_out,
+    std::vector<int64_t>& ids) {
+  {
     const int32_t* digits = digit_batch + (int64_t)c * w;
     ids.clear();
     expand_iupac(digits, w, ids);
@@ -287,6 +291,39 @@ extern "C" void iupac_aggregate_exact(
     expected_out[c] = sum_expected;
     bgp_out[c] = sum_bgp;
   }
+}
+
+}  // namespace
+
+extern "C" void iupac_aggregate_exact(
+    const int32_t* digit_batch, int n_candidates, int w, int both_strands,
+    const int32_t* counts, const float* expected, const float* bgp,
+    uint64_t* counts_out, float* expected_out, float* bgp_out) {
+  // candidates are independent; thread over them (each candidate's own
+  // fold order is unchanged, so results stay bit-exact)
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n_candidates) n_threads = n_candidates;
+  if (n_threads <= 1 || n_candidates < 4) {
+    std::vector<int64_t> ids;
+    for (int c = 0; c < n_candidates; c++) {
+      aggregate_one(digit_batch, c, w, both_strands, counts, expected, bgp,
+                    counts_out, expected_out, bgp_out, ids);
+    }
+    return;
+  }
+  std::vector<std::thread> pool;
+  std::atomic<int> next(0);
+  for (int t = 0; t < n_threads; t++) {
+    pool.emplace_back([&]() {
+      std::vector<int64_t> ids;
+      int c;
+      while ((c = next.fetch_add(1)) < n_candidates) {
+        aggregate_one(digit_batch, c, w, both_strands, counts, expected,
+                      bgp, counts_out, expected_out, bgp_out, ids);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 // --------------------------------------------------------------------------
@@ -433,26 +470,99 @@ extern "C" float calculate_d_bg_single(const float* p, const float* bg,
   return calc_d_bg(p, bg, l, off, 1E-4);
 }
 
+namespace {
+
+// run fn(lo, hi) over [0, n) split across hardware threads
+template <typename F>
+void parallel_ranges(int64_t n, F fn) {
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n < 1 << 16 || n_threads == 1) {
+    fn((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([=]() { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
 // Per-pattern log p-values over the whole table with exact reference
 // float/double semantics incl. glibc log
 // (reference: src/base_pattern.cpp:231-250).
 extern "C" void base_log_pvalues_table(const int32_t* counts,
                                        const float* expected, int64_t n,
                                        float* out) {
-  for (int64_t i = 0; i < n; i++) {
-    size_t counter = (size_t)counts[i];
-    if (counter == 0) {
-      out[i] = INFINITY;
-      continue;
+  parallel_ranges(n, [=](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      size_t counter = (size_t)counts[i];
+      if (counter == 0) {
+        out[i] = INFINITY;
+        continue;
+      }
+      float mu = expected[i];
+      float frac = 1.0 - mu / (counter + 1);
+      if (counter > mu && counter > 5) {
+        out[i] = counter * log(mu / counter) + counter - mu
+                 - 0.5 * log(6.283 * counter * frac * frac);
+      } else {
+        out[i] = 0;
+      }
     }
-    float mu = expected[i];
-    float frac = 1.0 - mu / (counter + 1);
-    if (counter > mu && counter > 5) {
-      out[i] = counter * log(mu / counter) + counter - mu
-               - 0.5 * log(6.283 * counter * frac * frac);
-    } else {
-      out[i] = 0;
+  });
+}
+
+// Background probability tables with the reference's exact left-to-right
+// float32 multiply order (reference: src/base_pattern.cpp:285-325), plus
+// optional double-strand aggregation (src/base_pattern.cpp:268-283).
+// v_concat packs v[0]..v[order] back to back; v_off[k] is v[k]'s offset.
+extern "C" void bg_prob_table_native(const float* v_concat,
+                                     const int64_t* v_off, int order, int w,
+                                     int both_strands, float* out) {
+  const int64_t n = (int64_t)1 << (2 * w);
+  // rev[k][x]: base4-reverse of the (k+1)-digit sub-word (pattern ids
+  // are little-endian, BaMM kmer ids big-endian)
+  std::vector<std::vector<int32_t>> rev(order + 1);
+  for (int k = 0; k <= order; k++) {
+    int n_digits = k + 1;
+    rev[k].resize((size_t)1 << (2 * n_digits));
+    for (int64_t x = 0; x < (int64_t)rev[k].size(); x++) {
+      int32_t r = 0;
+      for (int j = 0; j < n_digits; j++)
+        r |= ((x >> (2 * j)) & 3) << (2 * (n_digits - 1 - j));
+      rev[k][x] = r;
     }
+  }
+  std::vector<float> base(both_strands ? (size_t)n : 0);
+  float* dst = both_strands ? base.data() : out;
+  const std::vector<std::vector<int32_t>>& revr = rev;
+  parallel_ranges(n, [&, dst](int64_t lo, int64_t hi) {
+    for (int64_t id = lo; id < hi; id++) {
+      float p = 1.0f;
+      for (int pos = 0; pos < w; pos++) {
+        int k_eff = pos < order ? pos : order;
+        int64_t sub = (id >> (2 * (pos - k_eff)))
+                      & (((int64_t)1 << (2 * (k_eff + 1))) - 1);
+        p = p * v_concat[v_off[k_eff] + revr[k_eff][sub]];
+      }
+      dst[id] = p;
+    }
+  });
+  if (both_strands) {
+    const float* src = base.data();
+    parallel_ranges(n, [=](int64_t lo, int64_t hi) {
+      for (int64_t id = lo; id < hi; id++) {
+        int64_t rc = revcomp_id(id, w);
+        out[id] = (id == rc) ? src[id] : src[id] + src[rc];
+      }
+    });
   }
 }
 

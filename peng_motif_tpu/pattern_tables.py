@@ -63,11 +63,16 @@ class _LazyBgTensors:
 
     def host_flat(self, order: int) -> np.ndarray:
         if order not in self._host:
-            p = bgprobs.host_bg_prob_flat(
-                self._v_host, self._length, order)
-            if self._both:
-                p = bgprobs.host_aggregate_double_strand_flat(
-                    p, self._length)
+            from .native import bg_prob_table_native_fn  # noqa: PLC0415
+
+            p = bg_prob_table_native_fn(
+                self._v_host[: order + 1], self._length, order, self._both)
+            if p is None:
+                p = bgprobs.host_bg_prob_flat(
+                    self._v_host, self._length, order)
+                if self._both:
+                    p = bgprobs.host_aggregate_double_strand_flat(
+                        p, self._length)
             self._host[order] = p
         return self._host[order]
 
