@@ -181,7 +181,51 @@ class BackgroundModel:
 
 def count_kmers(sequences: Sequence[np.ndarray], order: int) -> List[np.ndarray]:
     """(k+1)-mer count vectors for k = 0..order with reference N-semantics
-    (see module docstring; reference: BackgroundModel.cpp:59-84)."""
+    (see module docstring; reference: BackgroundModel.cpp:59-84).
+    Vectorized over a padded batch; ``_count_kmers_loop`` is the
+    per-sequence semantics oracle."""
+    sequences = list(sequences)
+    if not sequences:
+        return [np.zeros(4 ** (k + 1), dtype=np.int64)
+                for k in range(order + 1)]
+    lengths = np.array([len(s) for s in sequences], dtype=np.int64)
+    N, L = len(sequences), int(lengths.max())
+    if L == 0:
+        return [np.zeros(4 ** (k + 1), dtype=np.int64)
+                for k in range(order + 1)]
+    codes = np.zeros((N, L), dtype=np.int64)
+    for i, s in enumerate(sequences):
+        codes[i, : len(s)] = s
+
+    # any_n9[b, i]: an N among in-sequence positions max(0, i-8)..i;
+    # padding zeros never enter (positions >= length are masked out)
+    is_n = codes == 0
+    csum = np.concatenate(
+        [np.zeros((N, 1), np.int64), np.cumsum(is_n, axis=1)], axis=1)
+    idx = np.arange(L)
+    lo = np.maximum(idx - 8, 0)
+    any_n9 = (csum[:, idx + 1] - csum[:, lo]) > 0
+    in_seq = idx[None, :] < lengths[:, None]
+
+    counts = []
+    v = np.zeros((N, L), dtype=np.int64)
+    for k in range(order + 1):
+        if k == 0:
+            v = np.where(codes > 0, codes - 1, 0)
+        elif k < L:
+            shifted = np.zeros_like(codes)
+            shifted[:, k:] = codes[:, :-k]
+            v = v + np.where(shifted > 0, (shifted - 1) * (4 ** k), 0)
+        ok = (idx[None, :] >= k) & in_seq & ((~any_n9) | (v == 0))
+        counts.append(
+            np.bincount(v[ok], minlength=4 ** (k + 1)).astype(np.int64))
+    return counts
+
+
+def _count_kmers_loop(
+    sequences: Sequence[np.ndarray], order: int
+) -> List[np.ndarray]:
+    """Reference-transcription oracle for :func:`count_kmers`."""
     counts = [np.zeros(4 ** (k + 1), dtype=np.int64) for k in range(order + 1)]
     for seq in sequences:
         seq = np.asarray(seq, dtype=np.int64)

@@ -616,17 +616,29 @@ namespace {
 
 void em_prob_odds(const float* pwm, const float* bg, int64_t n, int w,
                   float* odds) {
-  // odds[id] = prod_p pwm[p][digit_p(id)] / bg[id], with the product
-  // accumulated position 0..W-1 (reference: src/peng.cpp:180-197).
-  for (int64_t id = 0; id < n; id++) {
-    float prob = 1.0f;
-    int64_t rest = id;
-    for (int p = 0; p < w; p++) {
-      prob = prob * pwm[p * 4 + (rest & 3)];
-      rest >>= 2;
+  // odds[id] = prod_p pwm[p][digit_p(id)] / bg[id].  The reference
+  // recursion (src/peng.cpp:180-197) extends a shared prefix product
+  // one position at a time, so the prefix DP below performs the exact
+  // same float32-rounded multiply chains with ~(4/3)*4^W multiplies
+  // instead of W*4^W.
+  // level 0: 1.0f * pwm[0][a] == pwm[0][a] exactly
+  for (int a = 0; a < 4; a++) odds[a] = pwm[a];
+  int64_t level_n = 4;
+  for (int p = 1; p < w; p++) {
+    const float v0 = pwm[p * 4 + 0];
+    const float v1 = pwm[p * 4 + 1];
+    const float v2 = pwm[p * 4 + 2];
+    const float v3 = pwm[p * 4 + 3];
+    for (int64_t idlow = 0; idlow < level_n; idlow++) {
+      const float prefix = odds[idlow];
+      odds[idlow] = prefix * v0;  // a = 0 lands on the slot just read
+      odds[idlow + level_n] = prefix * v1;
+      odds[idlow + 2 * level_n] = prefix * v2;
+      odds[idlow + 3 * level_n] = prefix * v3;
     }
-    odds[id] = prob / bg[id];
+    level_n <<= 2;
   }
+  for (int64_t id = 0; id < n; id++) odds[id] = odds[id] / bg[id];
 }
 
 }  // namespace
@@ -648,13 +660,28 @@ extern "C" int em_optimize_single(float* pwm, const float* counts,
     iter++;
     for (int i = 0; i < w * 4; i++) cur_new[i] = 0.0f;
     em_prob_odds(cur_old, bg, n, w, scratch);
+    // responsibilities, elementwise (vectorizable)
     for (int64_t id = 0; id < n; id++) {
-      const float r = counts[id] * s / (1.0f + s / scratch[id]);
-      int64_t rest = id;
-      for (int p = 0; p < w; p++) {
-        cur_new[p * 4 + (rest & 3)] += r;
-        rest >>= 2;
+      scratch[id] = counts[id] * s / (1.0f + s / scratch[id]);
+    }
+    // The reference interleaves cell updates over one ascending-id walk
+    // (src/peng.cpp:120-127); each cell (p,a) only ever accumulates its
+    // own r values in ascending id order, so per-position passes with 4
+    // register accumulators reproduce every cell's fold bit-exactly.
+    for (int p = 0; p < w; p++) {
+      float acc0 = 0, acc1 = 0, acc2 = 0, acc3 = 0;
+      const int64_t stride = (int64_t)1 << (2 * p);
+      for (int64_t base = 0; base < n; base += stride * 4) {
+        const float* b = scratch + base;
+        for (int64_t i = 0; i < stride; i++) acc0 += b[i];
+        for (int64_t i = 0; i < stride; i++) acc1 += b[stride + i];
+        for (int64_t i = 0; i < stride; i++) acc2 += b[2 * stride + i];
+        for (int64_t i = 0; i < stride; i++) acc3 += b[3 * stride + i];
       }
+      cur_new[p * 4 + 0] = acc0;
+      cur_new[p * 4 + 1] = acc1;
+      cur_new[p * 4 + 2] = acc2;
+      cur_new[p * 4 + 3] = acc3;
     }
     // normalize (reference: src/iupac_pattern.cpp:291-303)
     for (int p = 0; p < w; p++) {

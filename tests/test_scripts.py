@@ -120,3 +120,17 @@ def test_background_model_bamm_roundtrip(tmp_path):
     assert loaded.order == bg.order
     for k in range(3):
         np.testing.assert_allclose(loaded.v[k], bg.v[k], rtol=2e-6)
+
+
+def test_count_kmers_vectorized_matches_loop():
+    from peng_motif_tpu.models.background import count_kmers, _count_kmers_loop
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        seqs = [rng.integers(0, 5, size=rng.integers(0, 40)).astype(np.uint8)
+                for _ in range(11)]
+        for order in (0, 2, 3):
+            want = _count_kmers_loop(seqs, order)
+            got = count_kmers(seqs, order)
+            for k in range(order + 1):
+                np.testing.assert_array_equal(got[k], want[k])
