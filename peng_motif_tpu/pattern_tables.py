@@ -153,8 +153,13 @@ class PatternTables:
         self.expected_np = self.bgp_np * np.float32(self.ltot)
         counts_f = self.counts_np.astype(np.float32)
         with np.errstate(divide="ignore", invalid="ignore"):
+            # (size_t - float) subtracts in float32; the unqualified
+            # sqrt is the global double overload, so the division runs
+            # in double before rounding back to float
+            # (reference: src/base_pattern.cpp:252-258)
+            num = (counts_f - self.expected_np).astype(np.float64)
             self.zscores_np = (
-                (counts_f - self.expected_np) / np.sqrt(self.expected_np)
+                num / np.sqrt(self.expected_np.astype(np.float64))
             ).astype(np.float32)
         from .native import base_log_pvalues_native  # noqa: PLC0415
 

@@ -27,6 +27,20 @@ CASES = [
      ["MafK_100seqs.fasta", "-w", "8", "--use-default-pwm"], False),
     ("mafk_w8", ["MafK.fasta", "-w", "8"], True),
     ("mafk_w6_plus", ["MafK.fasta", "-w", "6", "--strand", "PLUS"], False),
+    ("mafk100_w4", ["MafK_100seqs.fasta", "-w", "4"], False),
+    ("mafk100_w8_bgo1",
+     ["MafK_100seqs.fasta", "-w", "8", "--bg-model-order", "1"], False),
+    ("mafk100_w8_bgmafk",
+     ["MafK_100seqs.fasta", "-w", "8",
+      "--background-sequences", os.path.join(GOLDEN_DIR, "MafK.fasta")],
+     False),
+    ("mafk100_w8_thresh",
+     ["MafK_100seqs.fasta", "-w", "8", "-t", "5",
+      "--count-threshold", "1", "--pseudo-counts", "5"], False),
+    ("mafk100_w8_minmax",
+     ["MafK_100seqs.fasta", "-w", "8",
+      "--minimum-processed-patterns", "10",
+      "--max-optimized-patterns", "20"], False),
 ]
 
 
@@ -46,6 +60,19 @@ def test_byte_identical_output(stem, args, check_json, tmp_path, capsys):
         with open(json_out, "rb") as f, \
                 open(os.path.join(GOLDEN_DIR, f"{stem}.json"), "rb") as g:
             assert f.read() == g.read(), f"JSON output differs for {stem}"
+
+
+@pytest.mark.slow
+def test_byte_identical_w12(tmp_path, capsys):
+    """-w 12: the largest recommended pattern length (4**12 = 16.8M
+    entry tables; README.md:119)."""
+    meme_out = str(tmp_path / "out.meme")
+    argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "12",
+            "-o", meme_out]
+    assert main(argv) == 0
+    with open(meme_out, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, "mafk100_w12.meme"), "rb") as g:
+        assert f.read() == g.read()
 
 
 @pytest.mark.slow
