@@ -22,18 +22,24 @@ _build_failed = False
 
 
 def _build() -> bool:
-    # -O3 without -ffast-math/-march: float semantics must stay exactly
-    # IEEE (byte-parity depends on it) and the prebuilt .so may run on a
-    # different host generation
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
-        return True
-    except Exception:
-        return False
+    # -ffp-contract=off is parity-critical: FMA contraction would change
+    # float rounding vs the reference binary.  Elementwise IEEE +,*,/ are
+    # correctly rounded in any vector width, and g++ never vectorizes FP
+    # reductions without -ffast-math, so -march=native is byte-safe and
+    # unlocks 8-lane divides in the EM hot loop.  The .so is built on the
+    # host it runs on (never shipped), so native ISA is always valid;
+    # still, fall back to the baseline ISA if the flag is rejected.
+    base = ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
+            "-fPIC", _SRC, "-o", _SO + ".tmp"]
+    for extra in (["-march=native"], []):
+        cmd = base[:2] + extra + base[2:]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(_SO + ".tmp", _SO)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -145,6 +151,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, _f32p,
         ]
         lib.bg_prob_table_native.restype = None
+        lib.mirror_canonical_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mirror_canonical_u16.restype = None
+        lib.mirror_canonical_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mirror_canonical_i32.restype = None
+        lib.dedup_fixup_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.dedup_fixup_rows.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -393,6 +415,54 @@ def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+def mirror_canonical_native(vals: np.ndarray, length: int) -> Optional[np.ndarray]:
+    """Rebuild the full mirrored [4**W] int32 count table from its
+    canonical-id compaction (ascending canonical ids; see
+    pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(4 ** length, dtype=np.int32)
+    if vals.dtype == np.uint16:
+        vals = np.ascontiguousarray(vals)
+        lib.mirror_canonical_u16(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            ctypes.c_int(length),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        vals = np.ascontiguousarray(vals, dtype=np.int32)
+        lib.mirror_canonical_i32(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(length),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return out
+
+
+def dedup_fixup_rows_native(
+    rows: np.ndarray, length: int, both_strands: bool
+) -> Optional["tuple[np.ndarray, np.ndarray]"]:
+    """Sparse count deltas (exact - naive dedup) for a batch of suspicious
+    rows (see pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n_rows, row_len = rows.shape
+    cap = max(1, n_rows * max(0, row_len - length + 1))
+    out_ids = np.empty(cap, dtype=np.int64)
+    out_dv = np.empty(cap, dtype=np.int32)
+    n = lib.dedup_fixup_rows(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_rows), ctypes.c_int64(row_len),
+        ctypes.c_int(length), ctypes.c_int(1 if both_strands else 0),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_dv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_ids[:n], out_dv[:n]
 
 
 def parse_fasta_native(filepath: str, alphabet=None):

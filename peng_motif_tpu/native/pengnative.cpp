@@ -35,9 +35,21 @@ extern "C" {
 // --------------------------------------------------------------------------
 
 void zscore_sort_indices(const float* z, uint64_t n, uint32_t* out) {
-  std::iota(out, out + n, 0u);
-  std::sort(out, out + n,
-            [z](uint32_t i, uint32_t j) { return z[i] > z[j]; });
+  // Sort (key, index) pairs instead of bare indices: every comparison
+  // between the elements originally at positions (i, j) returns exactly
+  // what the reference's comparator z[i] > z[j] returns, and introsort's
+  // control flow depends only on those outcomes, so the resulting
+  // permutation is identical — without a random 4-byte gather into the
+  // 4^W key table per comparison (~3x faster at W = 10).
+  struct ZI {
+    float z;
+    uint32_t i;
+  };
+  std::vector<ZI> v(n);
+  for (uint64_t i = 0; i < n; i++) v[i] = {z[i], (uint32_t)i};
+  std::sort(v.begin(), v.end(),
+            [](const ZI& a, const ZI& b) { return a.z > b.z; });
+  for (uint64_t i = 0; i < n; i++) out[i] = v[i].i;
 }
 
 // Ascending std::sort of indices by float key: reproduces the reference's
@@ -239,6 +251,41 @@ void expand_iupac(const int32_t* digits, int w, std::vector<int64_t>& out) {
   }
 }
 
+// Ascending sort of pattern ids (non-negative, < 4^W).  LSD radix: the
+// output sequence of *values* is identical to std::sort's (duplicates
+// are indistinguishable), so the downstream fold order is unchanged;
+// ~5x faster than comparison sort on the 4^degeneracy expansions of
+// late hill-climb steps.
+void sort_ids(std::vector<int64_t>& ids, std::vector<int64_t>& tmp,
+              int total_bits) {
+  const size_t n = ids.size();
+  if (n < 2048) {
+    std::sort(ids.begin(), ids.end());
+    return;
+  }
+  constexpr int kBits = 11;
+  constexpr int kBuckets = 1 << kBits;
+  tmp.resize(n);
+  int64_t* src = ids.data();
+  int64_t* dst = tmp.data();
+  size_t hist[kBuckets];
+  for (int shift = 0; shift < total_bits; shift += kBits) {
+    memset(hist, 0, sizeof(hist));
+    for (size_t i = 0; i < n; i++) hist[(src[i] >> shift) & (kBuckets - 1)]++;
+    size_t sum = 0;
+    for (int b = 0; b < kBuckets; b++) {
+      size_t c = hist[b];
+      hist[b] = sum;
+      sum += c;
+    }
+    for (size_t i = 0; i < n; i++)
+      dst[hist[(src[i] >> shift) & (kBuckets - 1)]++] = src[i];
+    std::swap(src, dst);
+  }
+  if (src != ids.data())
+    memcpy(ids.data(), src, n * sizeof(int64_t));
+}
+
 }  // namespace
 
 // Aggregate counts/expected/bg-prob sums for a batch of IUPAC digit
@@ -252,7 +299,7 @@ void aggregate_one(
     const int32_t* digit_batch, int c, int w, int both_strands,
     const int32_t* counts, const float* expected, const float* bgp,
     uint64_t* counts_out, float* expected_out, float* bgp_out,
-    std::vector<int64_t>& ids) {
+    std::vector<int64_t>& ids, std::vector<int64_t>& tmp) {
   {
     const int32_t* digits = digit_batch + (int64_t)c * w;
     ids.clear();
@@ -261,7 +308,7 @@ void aggregate_one(
     float sum_expected, sum_bgp;
     if (both_strands) {
       for (auto& id : ids) id = std::min(id, revcomp_id(id, w));
-      std::sort(ids.begin(), ids.end());
+      sort_ids(ids, tmp, 2 * w);
       int64_t last = ids[0];
       sum_counts = (uint64_t)counts[last];
       sum_expected = expected[last];
@@ -304,10 +351,10 @@ extern "C" void iupac_aggregate_exact(
   int n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads > n_candidates) n_threads = n_candidates;
   if (n_threads <= 1 || n_candidates < 4) {
-    std::vector<int64_t> ids;
+    std::vector<int64_t> ids, tmp;
     for (int c = 0; c < n_candidates; c++) {
       aggregate_one(digit_batch, c, w, both_strands, counts, expected, bgp,
-                    counts_out, expected_out, bgp_out, ids);
+                    counts_out, expected_out, bgp_out, ids, tmp);
     }
     return;
   }
@@ -315,15 +362,125 @@ extern "C" void iupac_aggregate_exact(
   std::atomic<int> next(0);
   for (int t = 0; t < n_threads; t++) {
     pool.emplace_back([&]() {
-      std::vector<int64_t> ids;
+      std::vector<int64_t> ids, tmp;
       int c;
       while ((c = next.fetch_add(1)) < n_candidates) {
         aggregate_one(digit_batch, c, w, both_strands, counts, expected,
-                      bgp, counts_out, expected_out, bgp_out, ids);
+                      bgp, counts_out, expected_out, bgp_out, ids, tmp);
       }
     });
   }
   for (auto& th : pool) th.join();
+}
+
+// --------------------------------------------------------------------------
+// Count-table reconstruction from the canonical-id compaction.
+//
+// In BOTH_STRANDS mode every window scatters to min(id, revcomp(id)), so
+// the device table is nonzero only at canonical ids; the host fetches
+// just those (4^W + 4^(W/2))/2 entries and mirrors them here
+// (reference mirror step: src/base_pattern.cpp:386-392).  vals holds
+// the canonical entries in ascending-id order.
+// --------------------------------------------------------------------------
+
+extern "C" void mirror_canonical_u16(const uint16_t* vals, int w,
+                                     int32_t* out) {
+  const int64_t n = (int64_t)1 << (2 * w);
+  int64_t pos = 0;
+  for (int64_t id = 0; id < n; id++) {
+    int64_t rc = revcomp_id(id, w);
+    if (id <= rc) {
+      int32_t v = (int32_t)vals[pos++];
+      out[id] = v;
+      out[rc] = v;
+    }
+  }
+}
+
+extern "C" void mirror_canonical_i32(const int32_t* vals, int w,
+                                     int32_t* out) {
+  const int64_t n = (int64_t)1 << (2 * w);
+  int64_t pos = 0;
+  for (int64_t id = 0; id < n; id++) {
+    int64_t rc = revcomp_id(id, w);
+    if (id <= rc) {
+      int32_t v = vals[pos++];
+      out[id] = v;
+      out[rc] = v;
+    }
+  }
+}
+
+// --------------------------------------------------------------------------
+// Exact dedup fix-up for suspicious rows (same-pattern occurrence chains
+// with gaps < W).  For each row: recompute the exact greedy non-overlap
+// acceptance (reference: src/base_pattern.cpp:362-366) and the naive
+// vectorized acceptance the device used, and emit the sparse count
+// delta.  Deltas from all rows are accumulated into (ids, dv) pairs;
+// returns the number of pairs (<= capacity R * (L - W + 1)).
+// --------------------------------------------------------------------------
+
+extern "C" int64_t dedup_fixup_rows(const uint8_t* codes, int64_t n_rows,
+                                    int64_t row_len, int w, int both_strands,
+                                    int64_t* out_ids, int32_t* out_dv) {
+  const int64_t n_win = row_len - w + 1;
+  int64_t n_out = 0;
+  if (n_win <= 0) return 0;
+  std::vector<int64_t> cid(n_win);
+  std::vector<uint8_t> naive(n_win), exact(n_win);
+  std::vector<int64_t> last_pos;
+  for (int64_t r = 0; r < n_rows; r++) {
+    const uint8_t* row = codes + r * row_len;
+    // window ids (little-endian digits, reference: src/base_pattern.h:20-29)
+    for (int64_t j = 0; j < n_win; j++) {
+      int64_t fwd = 0, rc = 0;
+      bool valid = true;
+      for (int p = 0; p < w; p++) {
+        int c = row[j + p];
+        if (c == 0) { valid = false; break; }
+        fwd += (int64_t)(c - 1) << (2 * p);
+        rc += (int64_t)(4 - c) << (2 * (w - 1 - p));
+      }
+      cid[j] = valid ? (both_strands ? std::min(fwd, rc) : fwd) : -1;
+    }
+    // naive: blocked if any same-id window in the previous W-1 positions
+    for (int64_t j = 0; j < n_win; j++) {
+      bool blocked = false;
+      if (cid[j] >= 0) {
+        for (int64_t d = 1; d <= std::min((int64_t)w - 1, j); d++) {
+          if (cid[j - d] == cid[j]) { blocked = true; break; }
+        }
+      }
+      naive[j] = (cid[j] >= 0) && !blocked;
+    }
+    // exact: greedy last-accepted-position rule
+    std::fill(exact.begin(), exact.end(), 0);
+    // hash-free: last acceptance map via sorted probing would be slow;
+    // use an open-address map sized to the row (few hundred windows)
+    struct Slot { int64_t id; int64_t pos; };
+    size_t cap = 1;
+    while (cap < (size_t)n_win * 2) cap <<= 1;
+    std::vector<Slot> map(cap, {-1, -1});
+    for (int64_t j = 0; j < n_win; j++) {
+      int64_t id = cid[j];
+      if (id < 0) continue;
+      size_t h = ((uint64_t)id * 0x9E3779B97F4A7C15ull) & (cap - 1);
+      while (map[h].id != -1 && map[h].id != id) h = (h + 1) & (cap - 1);
+      if (map[h].id == -1 || j - map[h].pos >= w) {
+        exact[j] = 1;
+        map[h].id = id;
+        map[h].pos = j;
+      }
+    }
+    for (int64_t j = 0; j < n_win; j++) {
+      if (naive[j] != exact[j]) {
+        out_ids[n_out] = cid[j];
+        out_dv[n_out] = exact[j] ? 1 : -1;
+        n_out++;
+      }
+    }
+  }
+  return n_out;
 }
 
 // --------------------------------------------------------------------------
@@ -614,15 +771,14 @@ extern "C" void calculate_best_overlap_native(
 
 namespace {
 
-void em_prob_odds(const float* pwm, const float* bg, int64_t n, int w,
-                  float* odds) {
-  // odds[id] = prod_p pwm[p][digit_p(id)] / bg[id].  The reference
-  // recursion (src/peng.cpp:180-197) extends a shared prefix product
-  // one position at a time, so the prefix DP below performs the exact
-  // same float32-rounded multiply chains with ~(4/3)*4^W multiplies
-  // instead of W*4^W.
+void em_prob_products(const float* pwm, int64_t n, int w, float* out) {
+  // out[id] = prod_p pwm[p][digit_p(id)].  The reference recursion
+  // (src/peng.cpp:180-197) extends a shared prefix product one position
+  // at a time, so the prefix DP below performs the exact same
+  // float32-rounded multiply chains with ~(4/3)*4^W multiplies instead
+  // of W*4^W.  (The /bg[id] step is fused into the responsibility pass.)
   // level 0: 1.0f * pwm[0][a] == pwm[0][a] exactly
-  for (int a = 0; a < 4; a++) odds[a] = pwm[a];
+  for (int a = 0; a < 4; a++) out[a] = pwm[a];
   int64_t level_n = 4;
   for (int p = 1; p < w; p++) {
     const float v0 = pwm[p * 4 + 0];
@@ -630,15 +786,14 @@ void em_prob_odds(const float* pwm, const float* bg, int64_t n, int w,
     const float v2 = pwm[p * 4 + 2];
     const float v3 = pwm[p * 4 + 3];
     for (int64_t idlow = 0; idlow < level_n; idlow++) {
-      const float prefix = odds[idlow];
-      odds[idlow] = prefix * v0;  // a = 0 lands on the slot just read
-      odds[idlow + level_n] = prefix * v1;
-      odds[idlow + 2 * level_n] = prefix * v2;
-      odds[idlow + 3 * level_n] = prefix * v3;
+      const float prefix = out[idlow];
+      out[idlow] = prefix * v0;  // a = 0 lands on the slot just read
+      out[idlow + level_n] = prefix * v1;
+      out[idlow + 2 * level_n] = prefix * v2;
+      out[idlow + 3 * level_n] = prefix * v3;
     }
     level_n <<= 2;
   }
-  for (int64_t id = 0; id < n; id++) odds[id] = odds[id] / bg[id];
 }
 
 }  // namespace
@@ -658,30 +813,44 @@ extern "C" int em_optimize_single(float* pwm, const float* counts,
   while (true) {
     if (change <= thr || iter >= max_iter) break;
     iter++;
-    for (int i = 0; i < w * 4; i++) cur_new[i] = 0.0f;
-    em_prob_odds(cur_old, bg, n, w, scratch);
-    // responsibilities, elementwise (vectorizable)
+    em_prob_products(cur_old, n, w, scratch);
+    // fused odds + responsibility, elementwise (vectorizable; each
+    // element's op order matches the reference exactly: /bg, then
+    // count*s/(1+s/odds), src/peng.cpp:118-127)
     for (int64_t id = 0; id < n; id++) {
-      scratch[id] = counts[id] * s / (1.0f + s / scratch[id]);
+      float odds = scratch[id] / bg[id];
+      scratch[id] = counts[id] * s / (1.0f + s / odds);
     }
     // The reference interleaves cell updates over one ascending-id walk
     // (src/peng.cpp:120-127); each cell (p,a) only ever accumulates its
-    // own r values in ascending id order, so per-position passes with 4
-    // register accumulators reproduce every cell's fold bit-exactly.
-    for (int p = 0; p < w; p++) {
-      float acc0 = 0, acc1 = 0, acc2 = 0, acc3 = 0;
-      const int64_t stride = (int64_t)1 << (2 * p);
-      for (int64_t base = 0; base < n; base += stride * 4) {
-        const float* b = scratch + base;
-        for (int64_t i = 0; i < stride; i++) acc0 += b[i];
-        for (int64_t i = 0; i < stride; i++) acc1 += b[stride + i];
-        for (int64_t i = 0; i < stride; i++) acc2 += b[2 * stride + i];
-        for (int64_t i = 0; i < stride; i++) acc3 += b[3 * stride + i];
+    // own r values in ascending id order.  One blocked ascending pass
+    // with per-cell accumulators reproduces every cell's fold bit-exactly
+    // while touching scratch once (vs once per position): positions 0-1
+    // unroll over the 16-block, positions >= 2 see a constant digit per
+    // block so their 16 adds chain directly on one accumulator.
+    {
+      float acc[64 * 4];
+      for (int i = 0; i < w * 4; i++) acc[i] = 0.0f;
+      for (int64_t blk = 0; blk < n; blk += 16) {
+        const float* r = scratch + blk;
+        acc[0] += r[0];  acc[1] += r[1];  acc[2] += r[2];  acc[3] += r[3];
+        acc[0] += r[4];  acc[1] += r[5];  acc[2] += r[6];  acc[3] += r[7];
+        acc[0] += r[8];  acc[1] += r[9];  acc[2] += r[10]; acc[3] += r[11];
+        acc[0] += r[12]; acc[1] += r[13]; acc[2] += r[14]; acc[3] += r[15];
+        acc[4] += r[0];  acc[4] += r[1];  acc[4] += r[2];  acc[4] += r[3];
+        acc[5] += r[4];  acc[5] += r[5];  acc[5] += r[6];  acc[5] += r[7];
+        acc[6] += r[8];  acc[6] += r[9];  acc[6] += r[10]; acc[6] += r[11];
+        acc[7] += r[12]; acc[7] += r[13]; acc[7] += r[14]; acc[7] += r[15];
+        int64_t x = blk >> 4;
+        for (int p = 2; p < w; p++) {
+          float* c = &acc[p * 4 + (x & 3)];
+          float t = *c;
+          for (int i = 0; i < 16; i++) t += r[i];
+          *c = t;
+          x >>= 2;
+        }
       }
-      cur_new[p * 4 + 0] = acc0;
-      cur_new[p * 4 + 1] = acc1;
-      cur_new[p * 4 + 2] = acc2;
-      cur_new[p * 4 + 3] = acc3;
+      for (int i = 0; i < w * 4; i++) cur_new[i] = acc[i];
     }
     // normalize (reference: src/iupac_pattern.cpp:291-303)
     for (int p = 0; p < w; p++) {

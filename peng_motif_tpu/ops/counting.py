@@ -100,6 +100,184 @@ def count_patterns_device(codes: jax.Array, length: int,
     return counts, ltot
 
 
+def _n_canonical(length: int) -> int:
+    """Number of ids with id <= revcomp(id): (4^W + #palindromes) / 2;
+    palindromes exist only for even W (middle base would have to equal
+    its own complement)."""
+    pal = 4 ** (length // 2) if length % 2 == 0 else 0
+    return (4 ** length + pal) // 2
+
+
+def pack_codes(codes_np: np.ndarray):
+    """Host-side transfer compression: 2-bit base codes (4 per byte) plus
+    a 1-bit N mask — 2.67x fewer bytes over the host->device link than
+    raw uint8 codes (the link, not the scan, bounds counting throughput
+    on tunneled/PCIe-attached accelerators)."""
+    c = np.ascontiguousarray(codes_np, dtype=np.uint8)
+    b, length = c.shape
+    n = c == 0
+    b2 = (c - np.uint8(1)) & np.uint8(3)
+    pad4 = (-length) % 4
+    if pad4:
+        b2 = np.pad(b2, ((0, 0), (0, pad4)))
+    b2 = b2.reshape(b, -1, 4)
+    packed = (b2[:, :, 0] | (b2[:, :, 1] << 2) | (b2[:, :, 2] << 4)
+              | (b2[:, :, 3] << 6))
+    nmask = np.packbits(n, axis=1, bitorder="little")
+    return packed, nmask
+
+
+def _unpack_codes(packed: jax.Array, nmask: jax.Array, length: int):
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    c = ((packed[:, :, None] >> shifts) & 3).reshape(
+        packed.shape[0], -1)[:, :length]
+    bit = jnp.arange(8, dtype=jnp.uint8)
+    nm = ((nmask[:, :, None] >> bit) & 1).reshape(
+        nmask.shape[0], -1)[:, :length]
+    return jnp.where(nm == 1, 0, c.astype(jnp.int32) + 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seq_len", "length", "both_strands"))
+def _count_device_packed(packed, nmask, seq_len: int, length: int,
+                         both_strands: bool):
+    """Counting from packed codes with a transfer-minimal result layout:
+    in BOTH_STRANDS mode every window scatters to its canonical id, so
+    only the (4^W + 4^(W/2))/2 canonical entries leave the device (as
+    uint16 + a max-count scalar for overflow fallback); the mirror step
+    (reference: src/base_pattern.cpp:386-392) runs on host.
+    """
+    codes = _unpack_codes(packed, nmask, seq_len)
+    fwd, rc, valid = encoding.window_ids(codes, length)
+    cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
+        jnp.where(valid, fwd, -1))
+
+    counted, suspicious = naive_dedup(cids, length)
+
+    flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+    flat_inc = counted.reshape(-1).astype(jnp.int32)
+    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    ltot = valid.astype(jnp.int32).sum()
+
+    if both_strands:
+        canon = encoding.to_flat(encoding.canonical_mask(length))
+        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        vals = counts[canon_idx]
+    else:
+        vals = counts
+    max_count = vals.max()
+    return vals.astype(jnp.uint16), max_count, ltot, suspicious
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seq_len", "length", "both_strands"))
+def _count_device_packed_i32(packed, nmask, seq_len: int, length: int,
+                             both_strands: bool):
+    """Overflow fallback: same program, int32 canonical values."""
+    codes = _unpack_codes(packed, nmask, seq_len)
+    fwd, rc, valid = encoding.window_ids(codes, length)
+    cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
+        jnp.where(valid, fwd, -1))
+    counted, _ = naive_dedup(cids, length)
+    flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+    flat_inc = counted.reshape(-1).astype(jnp.int32)
+    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    if both_strands:
+        canon = encoding.to_flat(encoding.canonical_mask(length))
+        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        return counts[canon_idx]
+    return counts
+
+
+class CountJob:
+    """Asynchronously dispatched device counting.
+
+    Construction packs + uploads the codes and dispatches the count
+    program; the caller overlaps host work (background tables) with
+    device execution and calls :meth:`finish` for the exact, mirrored
+    host table.  This is the pipeline's only host<->device round trip
+    (reference equivalent: the single rolling scan,
+    src/base_pattern.cpp:331-441).
+    """
+
+    def __init__(self, codes_np: np.ndarray, length: int, both_strands: bool):
+        self._codes_np = np.ascontiguousarray(codes_np, dtype=np.uint8)
+        self._length = length
+        self._both = both_strands
+        self._seq_len = self._codes_np.shape[1]
+        packed, nmask = pack_codes(self._codes_np)
+        self._packed_dev = jnp.asarray(packed)
+        self._nmask_dev = jnp.asarray(nmask)
+        self._vals, self._max, self._ltot, self._susp = _count_device_packed(
+            self._packed_dev, self._nmask_dev, self._seq_len, length,
+            both_strands)
+
+    def finish(self):
+        """Block on the device result; returns (counts_np int32 [4**W],
+        ltot int) with exact non-overlap semantics."""
+        from ..native import dedup_fixup_rows_native  # noqa: PLC0415
+        from ..native import mirror_canonical_native  # noqa: PLC0415
+
+        vals, max_count, ltot, susp_np = jax.device_get(
+            (self._vals, self._max, self._ltot, self._susp))
+        if int(max_count) > np.iinfo(np.uint16).max:
+            vals = np.asarray(_count_device_packed_i32(
+                self._packed_dev, self._nmask_dev, self._seq_len,
+                self._length, self._both))
+        if self._both:
+            counts_np = mirror_canonical_native(vals, self._length)
+            if counts_np is None:
+                full = np.zeros(4 ** self._length, dtype=np.int32)
+                canon = np.flatnonzero(
+                    _np_canonical_mask_flat(self._length))
+                full[canon] = vals
+                rcs = np.array([_np_revcomp_id(int(i), self._length)
+                                for i in canon], dtype=np.int64)
+                full[rcs] = vals
+                counts_np = full
+        else:
+            counts_np = vals.astype(np.int32)
+        if susp_np.any():
+            rows = self._codes_np[np.flatnonzero(susp_np)]
+            counts64 = counts_np.astype(np.int64)
+            _apply_fixup_rows(counts64, rows, self._length, self._both)
+            counts_np = counts64.astype(np.int32)
+        return counts_np, int(ltot)
+
+
+def _np_canonical_mask_flat(length: int) -> np.ndarray:
+    ids = np.arange(4 ** length, dtype=np.int64)
+    return ids <= encoding.np_rc_permute(ids, length)
+
+
+def _apply_fixup_rows(counts64: np.ndarray, rows: np.ndarray, length: int,
+                      both_strands: bool):
+    """Apply the exact-vs-naive dedup delta for suspicious rows (native
+    batch recount with Python fallback)."""
+    from ..native import dedup_fixup_rows_native  # noqa: PLC0415
+
+    res = dedup_fixup_rows_native(rows, length, both_strands)
+    if res is not None:
+        ids, dv = res
+        for cid, d in zip(ids.tolist(), dv.tolist()):
+            counts64[cid] += d
+            if both_strands:
+                rcid = _np_revcomp_id(cid, length)
+                if rcid != cid:
+                    counts64[rcid] += d
+        return
+    delta: dict = {}
+    for row in rows:
+        for cid, d in host_row_recount(row, length, both_strands).items():
+            delta[cid] = delta.get(cid, 0) + d
+    for cid, d in delta.items():
+        counts64[cid] += d
+        if both_strands:
+            rcid = _np_revcomp_id(cid, length)
+            if rcid != cid:
+                counts64[rcid] += d
+
+
 def count_patterns(codes, length: int, both_strands: bool = True):
     """Count non-overlapping pattern occurrences over a sequence batch.
 

@@ -128,21 +128,12 @@ class PatternTables:
             self.counts_np = np.asarray(counts_flat)
             self.ltot = int(ltot)
         else:
-            codes_dev = jnp.asarray(padded_codes)
-            counts_dev, ltot_arr, susp = counting._count_device(
-                codes_dev, W, self.both)
-            self.counts_np, ltot_v, susp_np = jax.device_get(
-                (counts_dev, ltot_arr, susp))
-            self.ltot = int(ltot_v)
-            counts_flat = counts_dev
-            # exact dedup fix-up for rows with same-pattern repeat
-            # chains (see ops/counting.py)
-            if susp_np.any():
-                counts64 = self.counts_np.astype(np.int64)
-                counting.apply_dedup_fixup(
-                    counts64, codes_dev, susp_np, W, self.both)
-                self.counts_np = counts64.astype(np.int32)
-                counts_flat = None  # stale on device; re-upload lazily
+            # packed upload + canonical-compacted download + async
+            # dispatch: the host builds its bg-probability table while
+            # the device scans (ops/counting.py CountJob)
+            job = counting.CountJob(padded_codes, W, self.both)
+            self.bg_tensors.host_flat(self.k)
+            self.counts_np, self.ltot = job.finish()
 
         # float statistics, built host-side in the reference's exact
         # operation order (reference: src/base_pattern.cpp:56-63);
