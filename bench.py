@@ -78,16 +78,14 @@ def _counting_throughput_mbases_s():
     table fetch — the phase that scales with corpus size."""
     import numpy as np
 
-    from peng_motif_tpu.ops.counting import count_patterns
+    from peng_motif_tpu.ops.counting import CountJob
 
     rng = np.random.default_rng(0)
     codes = rng.integers(1, 5, size=(200_000, 256)).astype(np.uint8)
     mb = codes.size / 1e6
-    count_patterns(codes, 8, True)  # warm (compile + backend first-run)
+    CountJob(codes, 8, True).finish()  # warm (compile + backend first-run)
     t0 = time.perf_counter()
-    counts, ltot = count_patterns(codes, 8, True)
-    int(ltot)
-    np.asarray(counts)
+    counts_np, ltot = CountJob(codes, 8, True).finish()
     dt = time.perf_counter() - t0
     return mb / dt
 

@@ -167,6 +167,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.dedup_fixup_rows.restype = ctypes.c_int64
+        lib.pack_codes_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.pack_codes_native.restype = None
         _lib = lib
         return _lib
 
@@ -413,6 +418,23 @@ def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_uint64(values.shape[0]),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def pack_codes_fused_native(codes: np.ndarray) -> Optional[np.ndarray]:
+    """One [B, ceil(L/4)+ceil(L/8)] buffer: 2-bit codes then 1-bit N mask
+    (see pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    b, length = codes.shape
+    out = np.empty((b, (length + 3) // 4 + (length + 7) // 8), dtype=np.uint8)
+    lib.pack_codes_native(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(b), ctypes.c_int64(length),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
 

@@ -28,6 +28,30 @@
 #include <atomic>
 #include <thread>
 
+namespace {
+
+// run fn(lo, hi) over [0, n) split across hardware threads
+template <typename F>
+void parallel_ranges(int64_t n, F fn) {
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n < 1 << 16 || n_threads == 1) {
+    fn((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([=]() { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
 extern "C" {
 
 // --------------------------------------------------------------------------
@@ -374,6 +398,33 @@ extern "C" void iupac_aggregate_exact(
 }
 
 // --------------------------------------------------------------------------
+// Transfer packing: BaMM codes [B, L] -> one [B, ceil(L/4) + ceil(L/8)]
+// buffer holding 2-bit base codes (4 per byte, little-endian within the
+// byte) followed by a 1-bit N mask.  2.67x fewer bytes over the
+// host->device link than raw uint8 codes; one buffer = one transfer.
+// --------------------------------------------------------------------------
+
+extern "C" void pack_codes_native(const uint8_t* codes, int64_t n_rows,
+                                  int64_t row_len, uint8_t* out) {
+  const int64_t c4 = (row_len + 3) / 4;
+  const int64_t c8 = (row_len + 7) / 8;
+  const int64_t out_stride = c4 + c8;
+  parallel_ranges(n_rows, [=](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; r++) {
+      const uint8_t* row = codes + r * row_len;
+      uint8_t* base2 = out + r * out_stride;
+      uint8_t* nbits = base2 + c4;
+      memset(base2, 0, out_stride);
+      for (int64_t j = 0; j < row_len; j++) {
+        uint8_t c = row[j];
+        base2[j >> 2] |= (uint8_t)(((c - 1) & 3) << ((j & 3) * 2));
+        if (c == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
+      }
+    }
+  });
+}
+
+// --------------------------------------------------------------------------
 // Count-table reconstruction from the canonical-id compaction.
 //
 // In BOTH_STRANDS mode every window scatters to min(id, revcomp(id)), so
@@ -626,30 +677,6 @@ extern "C" float calculate_d_bg_single(const float* p, const float* bg,
                                        int l, int off) {
   return calc_d_bg(p, bg, l, off, 1E-4);
 }
-
-namespace {
-
-// run fn(lo, hi) over [0, n) split across hardware threads
-template <typename F>
-void parallel_ranges(int64_t n, F fn) {
-  int n_threads = (int)std::thread::hardware_concurrency();
-  if (n_threads < 1) n_threads = 1;
-  if (n < 1 << 16 || n_threads == 1) {
-    fn((int64_t)0, n);
-    return;
-  }
-  std::vector<std::thread> pool;
-  int64_t chunk = (n + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; t++) {
-    int64_t lo = t * chunk;
-    int64_t hi = std::min(n, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back([=]() { fn(lo, hi); });
-  }
-  for (auto& th : pool) th.join();
-}
-
-}  // namespace
 
 // Per-pattern log p-values over the whole table with exact reference
 // float/double semantics incl. glibc log

@@ -108,12 +108,19 @@ def _n_canonical(length: int) -> int:
     return (4 ** length + pal) // 2
 
 
-def pack_codes(codes_np: np.ndarray):
-    """Host-side transfer compression: 2-bit base codes (4 per byte) plus
-    a 1-bit N mask — 2.67x fewer bytes over the host->device link than
-    raw uint8 codes (the link, not the scan, bounds counting throughput
-    on tunneled/PCIe-attached accelerators)."""
+def pack_codes(codes_np: np.ndarray) -> np.ndarray:
+    """Host-side transfer compression: one [B, ceil(L/4) + ceil(L/8)]
+    uint8 buffer holding 2-bit base codes (4 per byte) followed by a
+    1-bit N mask — 2.67x fewer bytes and a single transfer over the
+    host->device link vs raw uint8 codes (the link, not the scan, bounds
+    counting throughput on tunneled/PCIe-attached accelerators).
+    Native fast path; vectorized numpy fallback."""
+    from ..native import pack_codes_fused_native  # noqa: PLC0415
+
     c = np.ascontiguousarray(codes_np, dtype=np.uint8)
+    out = pack_codes_fused_native(c)
+    if out is not None:
+        return out
     b, length = c.shape
     n = c == 0
     b2 = (c - np.uint8(1)) & np.uint8(3)
@@ -124,10 +131,13 @@ def pack_codes(codes_np: np.ndarray):
     packed = (b2[:, :, 0] | (b2[:, :, 1] << 2) | (b2[:, :, 2] << 4)
               | (b2[:, :, 3] << 6))
     nmask = np.packbits(n, axis=1, bitorder="little")
-    return packed, nmask
+    return np.concatenate([packed, nmask], axis=1)
 
 
-def _unpack_codes(packed: jax.Array, nmask: jax.Array, length: int):
+def _unpack_codes(buf: jax.Array, length: int):
+    c4 = (length + 3) // 4
+    packed = buf[:, :c4]
+    nmask = buf[:, c4:]
     shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
     c = ((packed[:, :, None] >> shifts) & 3).reshape(
         packed.shape[0], -1)[:, :length]
@@ -139,7 +149,7 @@ def _unpack_codes(packed: jax.Array, nmask: jax.Array, length: int):
 
 @functools.partial(
     jax.jit, static_argnames=("seq_len", "length", "both_strands"))
-def _count_device_packed(packed, nmask, seq_len: int, length: int,
+def _count_device_packed(buf, seq_len: int, length: int,
                          both_strands: bool):
     """Counting from packed codes with a transfer-minimal result layout:
     in BOTH_STRANDS mode every window scatters to its canonical id, so
@@ -147,7 +157,7 @@ def _count_device_packed(packed, nmask, seq_len: int, length: int,
     uint16 + a max-count scalar for overflow fallback); the mirror step
     (reference: src/base_pattern.cpp:386-392) runs on host.
     """
-    codes = _unpack_codes(packed, nmask, seq_len)
+    codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
@@ -171,10 +181,10 @@ def _count_device_packed(packed, nmask, seq_len: int, length: int,
 
 @functools.partial(
     jax.jit, static_argnames=("seq_len", "length", "both_strands"))
-def _count_device_packed_i32(packed, nmask, seq_len: int, length: int,
+def _count_device_packed_i32(buf, seq_len: int, length: int,
                              both_strands: bool):
     """Overflow fallback: same program, int32 canonical values."""
-    codes = _unpack_codes(packed, nmask, seq_len)
+    codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
@@ -205,12 +215,9 @@ class CountJob:
         self._length = length
         self._both = both_strands
         self._seq_len = self._codes_np.shape[1]
-        packed, nmask = pack_codes(self._codes_np)
-        self._packed_dev = jnp.asarray(packed)
-        self._nmask_dev = jnp.asarray(nmask)
+        self._buf_dev = jnp.asarray(pack_codes(self._codes_np))
         self._vals, self._max, self._ltot, self._susp = _count_device_packed(
-            self._packed_dev, self._nmask_dev, self._seq_len, length,
-            both_strands)
+            self._buf_dev, self._seq_len, length, both_strands)
 
     def finish(self):
         """Block on the device result; returns (counts_np int32 [4**W],
@@ -222,8 +229,7 @@ class CountJob:
             (self._vals, self._max, self._ltot, self._susp))
         if int(max_count) > np.iinfo(np.uint16).max:
             vals = np.asarray(_count_device_packed_i32(
-                self._packed_dev, self._nmask_dev, self._seq_len,
-                self._length, self._both))
+                self._buf_dev, self._seq_len, self._length, self._both))
         if self._both:
             counts_np = mirror_canonical_native(vals, self._length)
             if counts_np is None:
