@@ -188,6 +188,11 @@ def count_kmers(sequences: Sequence[np.ndarray], order: int) -> List[np.ndarray]
     if not sequences:
         return [np.zeros(4 ** (k + 1), dtype=np.int64)
                 for k in range(order + 1)]
+    from ..native import bg_count_kmers_native  # noqa: PLC0415
+
+    native = bg_count_kmers_native(sequences, order)
+    if native is not None:
+        return native
     lengths = np.array([len(s) for s in sequences], dtype=np.int64)
     N, L = len(sequences), int(lengths.max())
     if L == 0:

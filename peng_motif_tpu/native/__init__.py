@@ -172,6 +172,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.pack_codes_native.restype = None
+        lib.bg_count_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bg_count_kmers.restype = None
         _lib = lib
         return _lib
 
@@ -420,6 +425,36 @@ def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+def bg_count_kmers_native(sequences, order: int):
+    """(k+1)-mer count vectors for k = 0..order with reference N-window
+    semantics (see pengnative.cpp); None without the native library."""
+    lib = get_lib()
+    if lib is None or order > 8:  # reference kmer_ ids only cover k <= 8
+        return None
+    lengths = np.array([len(s) for s in sequences], dtype=np.int64)
+    if len(sequences):
+        codes = np.concatenate(
+            [np.asarray(s, dtype=np.uint8).ravel() for s in sequences])
+    else:
+        codes = np.empty(0, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    total = sum(4 ** (k + 1) for k in range(order + 1))
+    out = np.empty(total, dtype=np.int64)
+    lib.bg_count_kmers(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(sequences)), ctypes.c_int(order),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    res = []
+    off = 0
+    for k in range(order + 1):
+        n = 4 ** (k + 1)
+        res.append(out[off : off + n].copy())
+        off += n
+    return res
 
 
 def pack_codes_fused_native(codes: np.ndarray) -> Optional[np.ndarray]:

@@ -398,6 +398,72 @@ extern "C" void iupac_aggregate_exact(
 }
 
 // --------------------------------------------------------------------------
+// Background (k+1)-mer counting (reference: BackgroundModel.cpp:59-84
+// via Sequence::kmer_, Sequence.cpp:28-33): for every k = 0..order and
+// every in-sequence position i >= k, count the value
+// v = sum_j (c[i-j] - 1) * 4^j (N contributes 0), unless a position in
+// the trailing 9-window i-8..i is an N and v != 0 (the reference's
+// kmer_[i] < 0 sentinel skips those, with the v == 0 quirk preserved).
+// out packs the count vectors back to back: 4 + 16 + ... + 4^(order+1).
+// --------------------------------------------------------------------------
+
+extern "C" void bg_count_kmers(const uint8_t* codes, const int64_t* lengths,
+                               int64_t n_seq, int order, int64_t* out) {
+  int64_t total_out = 0;
+  for (int k = 0; k <= order; k++) total_out += (int64_t)1 << (2 * (k + 1));
+  memset(out, 0, total_out * sizeof(int64_t));
+  std::vector<int64_t> offs(order + 1);
+  {
+    int64_t acc = 0;
+    for (int k = 0; k <= order; k++) { offs[k] = acc; acc += (int64_t)1 << (2 * (k + 1)); }
+  }
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_seq < 64) n_threads = 1;
+  std::vector<std::vector<int64_t>> partial(
+      n_threads, std::vector<int64_t>(total_out, 0));
+  std::vector<int64_t> starts(n_seq);
+  {
+    int64_t acc = 0;
+    for (int64_t s = 0; s < n_seq; s++) { starts[s] = acc; acc += lengths[s]; }
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&](int tid) {
+    int64_t* cnt = partial[tid].data();
+    int64_t vbuf[16];  // v_k at current position, k <= order (order <= 8)
+    int64_t vprev[16];
+    int64_t s;
+    while ((s = next.fetch_add(1)) < n_seq) {
+      const uint8_t* seq = codes + starts[s];
+      const int64_t L = lengths[s];
+      int n_in_window = 0;  // count of Ns among positions i-8..i
+      for (int64_t i = 0; i < L; i++) {
+        if (seq[i] == 0) n_in_window++;
+        if (i >= 9 && seq[i - 9] == 0) n_in_window--;
+        int64_t base = seq[i] > 0 ? seq[i] - 1 : 0;
+        for (int k = 0; k <= order; k++) {
+          vbuf[k] = base + (k > 0 && i > 0 ? 4 * vprev[k - 1] : 0);
+        }
+        for (int k = 0; k <= order && k <= i; k++) {
+          int64_t v = vbuf[k];
+          if (n_in_window == 0 || v == 0) cnt[offs[k] + v]++;
+        }
+        memcpy(vprev, vbuf, sizeof(int64_t) * (order + 1));
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+  for (int t = 0; t < n_threads; t++)
+    for (int64_t i = 0; i < total_out; i++) out[i] += partial[t][i];
+}
+
+// --------------------------------------------------------------------------
 // Transfer packing: BaMM codes [B, L] -> one [B, ceil(L/4) + ceil(L/8)]
 // buffer holding 2-bit base codes (4 per byte, little-endian within the
 // byte) followed by a 1-bit N mask.  2.67x fewer bytes over the

@@ -152,6 +152,24 @@ class PatternTables:
             self.zscores_np = (
                 num / np.sqrt(self.expected_np.astype(np.float64))
             ).astype(np.float32)
+        # the full z-sort (native std::sort, GIL released) overlaps with
+        # the logp table build; _seed_order joins it
+        self._order_thread = None
+        self._order_result = [None]
+        from .native import get_lib  # noqa: PLC0415
+
+        if get_lib() is not None:
+            import threading  # noqa: PLC0415
+
+            from .native import zscore_sort_indices  # noqa: PLC0415
+
+            z = self.zscores_np
+
+            def _sort():
+                self._order_result[0] = zscore_sort_indices(z)
+
+            self._order_thread = threading.Thread(target=_sort, daemon=True)
+            self._order_thread.start()
         from .native import base_log_pvalues_native  # noqa: PLC0415
 
         logp = base_log_pvalues_native(self.counts_np, self.expected_np)
@@ -344,6 +362,11 @@ class PatternTables:
         from .native import zscore_sort_indices  # noqa: PLC0415
 
         z = self.zscores_np
+        if getattr(self, "_order_thread", None) is not None:
+            self._order_thread.join()
+            self._order_thread = None
+            if self._order_result[0] is not None:
+                return self._order_result[0]
         order = zscore_sort_indices(z)
         if order is not None:
             return order

@@ -134,3 +134,21 @@ def test_count_kmers_vectorized_matches_loop():
             got = count_kmers(seqs, order)
             for k in range(order + 1):
                 np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_count_kmers_native_matches_loop():
+    from peng_motif_tpu.models.background import _count_kmers_loop
+    from peng_motif_tpu.native import bg_count_kmers_native
+
+    if bg_count_kmers_native([], 0) is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    # long sequences so the threaded path engages; Ns included to cover
+    # the 9-window sentinel + v == 0 quirk
+    seqs = [rng.integers(0, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(1, 500, size=130)]
+    for order in (0, 2, 4):
+        want = _count_kmers_loop(seqs, order)
+        got = bg_count_kmers_native(seqs, order)
+        for k in range(order + 1):
+            np.testing.assert_array_equal(got[k], want[k])
