@@ -249,6 +249,33 @@ inline int64_t revcomp_id(int64_t id, int w) {
   return out;
 }
 
+// rc of an 8-digit (16-bit) chunk, table-driven — the reference's
+// half-pattern reverse-complement LUT idea (src/base_pattern.cpp:81-97).
+inline const uint32_t* rc8_lut() {
+  static const std::vector<uint32_t> lut = [] {
+    std::vector<uint32_t> t(1 << 16);
+    for (uint32_t x = 0; x < (uint32_t)(1 << 16); x++) {
+      uint32_t r = 0, v = x;
+      for (int p = 0; p < 8; p++) {
+        r = (r << 2) | (3 - (v & 3));
+        v >>= 2;
+      }
+      t[x] = r;
+    }
+    return t;
+  }();
+  return lut.data();
+}
+
+// LUT revcomp: valid for w <= 16 (ids < 4^16)
+inline int64_t revcomp_id_fast(int64_t id, int w, const uint32_t* lut) {
+  if (w <= 8) return (int64_t)(lut[id] >> (2 * (8 - w)));
+  const int64_t lo = id & 0xFFFF;
+  const int64_t hi = id >> 16;
+  return (int64_t)(lut[hi] >> (2 * (16 - w)))
+         | ((int64_t)lut[lo] << (2 * (w - 8)));
+}
+
 // DFS expansion in the reference's stack order.
 void expand_iupac(const int32_t* digits, int w, std::vector<int64_t>& out) {
   struct Item { int64_t kmer; int pos; };
@@ -331,7 +358,8 @@ void aggregate_one(
     uint64_t sum_counts;
     float sum_expected, sum_bgp;
     if (both_strands) {
-      for (auto& id : ids) id = std::min(id, revcomp_id(id, w));
+      const uint32_t* lut = rc8_lut();
+      for (auto& id : ids) id = std::min(id, revcomp_id_fast(id, w, lut));
       sort_ids(ids, tmp, 2 * w);
       int64_t last = ids[0];
       sum_counts = (uint64_t)counts[last];
@@ -503,9 +531,10 @@ extern "C" void pack_codes_native(const uint8_t* codes, int64_t n_rows,
 extern "C" void mirror_canonical_u16(const uint16_t* vals, int w,
                                      int32_t* out) {
   const int64_t n = (int64_t)1 << (2 * w);
+  const uint32_t* lut = rc8_lut();
   int64_t pos = 0;
   for (int64_t id = 0; id < n; id++) {
-    int64_t rc = revcomp_id(id, w);
+    int64_t rc = revcomp_id_fast(id, w, lut);
     if (id <= rc) {
       int32_t v = (int32_t)vals[pos++];
       out[id] = v;
@@ -517,9 +546,10 @@ extern "C" void mirror_canonical_u16(const uint16_t* vals, int w,
 extern "C" void mirror_canonical_i32(const int32_t* vals, int w,
                                      int32_t* out) {
   const int64_t n = (int64_t)1 << (2 * w);
+  const uint32_t* lut = rc8_lut();
   int64_t pos = 0;
   for (int64_t id = 0; id < n; id++) {
-    int64_t rc = revcomp_id(id, w);
+    int64_t rc = revcomp_id_fast(id, w, lut);
     if (id <= rc) {
       int32_t v = vals[pos++];
       out[id] = v;

@@ -451,6 +451,12 @@ class Peng:
     ):
         both = self.strand == Strand.BOTH_STRANDS
         bg0 = self.bg_model.v[0]
+        # The reference recomputes every pair each merge round
+        # (src/peng.cpp:247-263); scores are pure functions of the two
+        # (immutable) motifs, so memoizing unchanged pairs is
+        # outcome-identical and turns the loop from O(rounds * n^2) into
+        # O(n^2 + rounds * n) overlap scans.
+        pair_cache: dict = {}
         while True:
             best_score = -np.inf
             best_i = best_j = 0
@@ -462,9 +468,14 @@ class Peng:
                 for j in range(i + 1, len(motifs)):
                     if motifs[j].log_pvalue > -5:
                         continue
-                    s, shift, comp = calculate_best_overlap(
-                        motifs[i], motifs[j], both, bg0
-                    )
+                    key = (motifs[i], motifs[j])
+                    hit = pair_cache.get(key)
+                    if hit is None:
+                        hit = calculate_best_overlap(
+                            motifs[i], motifs[j], both, bg0
+                        )
+                        pair_cache[key] = hit
+                    s, shift, comp = hit
                     if s > best_score:
                         best_i, best_j = i, j
                         best_score, best_shift, best_comp = s, shift, comp
