@@ -277,10 +277,21 @@ def main(argv=None):
     cfg = parse_args(argv)
     set_verbosity(cfg["verbosity"])
 
-    sequence_set = load_sequence_set(cfg["input"])
-    bg_path = cfg["background_sequences"] or cfg["input"]
-    bg_set = (sequence_set if bg_path == cfg["input"]
-              else load_sequence_set(bg_path))
+    from .io.fasta import FastaFormatError
+
+    try:
+        sequence_set = load_sequence_set(cfg["input"])
+        bg_path = cfg["background_sequences"] or cfg["input"]
+        bg_set = (sequence_set if bg_path == cfg["input"]
+                  else load_sequence_set(bg_path))
+    except FileNotFoundError as e:
+        # reference: src/shared/SequenceSet.cpp:445-448
+        print(f"Error: Cannot open FASTA file: {e.filename or e}",
+              file=sys.stderr)
+        return 1
+    except FastaFormatError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
 
     bg_model_order = max(cfg["bg_model_order"], cfg["max_opt_bg_model_order"])
     bg_model = BackgroundModel(

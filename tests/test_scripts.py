@@ -106,6 +106,17 @@ def test_checkpoint_roundtrip(tmp_path):
     assert rc == 1
 
 
+def test_missing_input_file_matches_reference(capsys):
+    """Missing FASTA: "Error: Cannot open FASTA file: <path>" on stderr,
+    rc=1 (reference: src/shared/SequenceSet.cpp:445-448)."""
+    from peng_motif_tpu.cli import main
+
+    rc = main(["/nonexistent_peng_input.fa", "-w", "8"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Error: Cannot open FASTA file: /nonexistent_peng_input.fa" in err
+
+
 def test_background_model_bamm_roundtrip(tmp_path):
     """BaMM-format write/read (reference: BackgroundModel.cpp:94-164,
     406-488) preserves the conditionals."""
