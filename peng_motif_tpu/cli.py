@@ -284,7 +284,7 @@ def main(argv=None):
         bg_path = cfg["background_sequences"] or cfg["input"]
         bg_set = (sequence_set if bg_path == cfg["input"]
                   else load_sequence_set(bg_path))
-    except FileNotFoundError as e:
+    except OSError as e:
         # reference: src/shared/SequenceSet.cpp:445-448
         print(f"Error: Cannot open FASTA file: {e.filename or e}",
               file=sys.stderr)

@@ -106,13 +106,11 @@ def read_fasta(
         header = None
         chunks = []
 
-    try:
-        with open(filepath) as f:
-            content = f.read()
-    except OSError:
-        # reference: SequenceSet.cpp:424-427
-        print(f"Error: Cannot open FASTA file: {filepath}", file=sys.stderr)
-        sys.exit(1)
+    # an unreadable file propagates as FileNotFoundError/OSError; the CLI
+    # renders the reference's message + exit(1)
+    # (reference: SequenceSet.cpp:445-448)
+    with open(filepath) as f:
+        content = f.read()
     lines = content.split("\n")
     # Reference quirk, reproduced: getline(...).good() discards a final
     # line that is not newline-terminated (reference:
