@@ -177,6 +177,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.bg_count_kmers.restype = None
+        lib.base_opt_score.argtypes = [
+            ctypes.c_int, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_uint64, ctypes.c_uint32,
+        ]
+        lib.base_opt_score.restype = ctypes.c_float
         _lib = lib
         return _lib
 
@@ -425,6 +430,21 @@ def float_sort_indices_asc(values: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+def base_opt_score_native(score_type: int, observed: int, expected,
+                          pseudo: int, n_sequences: int):
+    """Seed optimization score with exact reference float semantics
+    (reference: src/base_pattern.cpp:180-200); None without the native
+    library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return np.float32(lib.base_opt_score(
+        ctypes.c_int(score_type), ctypes.c_uint32(observed),
+        ctypes.c_float(float(expected)), ctypes.c_uint64(pseudo),
+        ctypes.c_uint32(n_sequences),
+    ))
 
 
 def bg_count_kmers_native(sequences, order: int):

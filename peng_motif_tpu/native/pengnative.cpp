@@ -687,6 +687,19 @@ inline float iupac_logpval(uint64_t n_sites, float mu, float zscore,
 
 }  // namespace
 
+// Seed (base-pattern) optimization score with the reference binary's
+// exact float semantics (reference: src/base_pattern.cpp:184-224).
+// score_type 1 = ENRICHMENT/ExpCounts, 2 = MUTUAL_INFO (LOGPVAL reads
+// the precomputed table host-side).
+extern "C" float base_opt_score(int score_type, uint32_t observed,
+                                float expected, uint64_t pseudo,
+                                uint32_t n_sequences) {
+  if (score_type == 1) {
+    return (expected + (float)pseudo) / (float)observed;
+  }
+  return mi_score((float)observed, expected, n_sequences);
+}
+
 // Aggregation + statistics + optimization score in one pass.
 // score_type: 0 = LOGPVAL, 1 = ENRICHMENT/ExpCounts, 2 = MUTUAL_INFO.
 extern "C" void iupac_aggregate_score(

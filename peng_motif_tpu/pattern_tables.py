@@ -283,14 +283,20 @@ class PatternTables:
         self, score_type: OptimizationScore, pattern: int, pseudo_expected: int
     ) -> np.float32:
         """Seed score from the base tables
-        (reference: src/base_pattern.cpp:210-224)."""
+        (reference: src/base_pattern.cpp:180-224)."""
         if score_type == OptimizationScore.LOGPVAL:
-            # host recomputation with C++ promotion points (the device
-            # table uses float32 logs; fine for display, not for
-            # tie-sensitive decisions)
-            return numerics.base_log_pvalue(
-                int(self.counts_np[pattern]), self.expected_np[pattern]
-            )
+            # the reference returns the precomputed table value
+            # (src/base_pattern.cpp:202-204); _logp_np was built with the
+            # binary's exact libm semantics
+            return np.float32(self._logp_np[pattern])
+        from .native import base_opt_score_native  # noqa: PLC0415
+
+        native = base_opt_score_native(
+            score_type.value, int(self.counts_np[pattern]),
+            self.expected_np[pattern], pseudo_expected, self.n_sequences,
+        )
+        if native is not None:
+            return native
         if score_type == OptimizationScore.ENRICHMENT:
             return numerics.exp_count_fraction(
                 int(self.counts_np[pattern]), self.expected_np[pattern],

@@ -440,7 +440,7 @@ class Peng:
             print(
                 f"em: {motif.iupac_string()} -> "
                 f"{new_motif.pattern_string(self.iupac_profile)}   "
-                f"[ avg. info: {info:.2g} ]", file=self.out,
+                f"[ avg. info: {info:.2f} ]", file=self.out,
             )
         return optimized
 
@@ -556,9 +556,12 @@ class Peng:
     def _print_climb_row(self, motif: Motif, score):
         enr = (motif.n_sites / motif.expected_counts
                if motif.expected_counts else np.inf)
+        # cout is sticky std::fixed from the first seed table on
+        # (reference: src/base_pattern.cpp:524), so the climb columns are
+        # fixed-point with 2 / 6 decimals (src/peng.cpp:459-463)
         print(
             f"\t{motif.iupac_string():>15}\t{motif.n_sites:>10}\t"
-            f"{enr:>5.2g}\t{score:>10.6g}", file=self.out,
+            f"{enr:>5.2f}\t{score:>10.6f}", file=self.out,
         )
 
     def _print_motif_table(self, motifs: List[Motif]):
@@ -578,5 +581,5 @@ class Peng:
         print(
             f"{prefix}{motif.iupac_string()} -> "
             f"{motif.pattern_string(self.iupac_profile)}   "
-            f"[ avg. info: {info:.2g} ]", file=self.out,
+            f"[ avg. info: {info:.2f} ]", file=self.out,
         )

@@ -53,6 +53,7 @@ def test_byte_identical_output(stem, args, check_json, tmp_path, capsys):
     if check_json:
         argv += ["-j", json_out]
     assert main(argv) == 0
+    captured = capsys.readouterr()
     with open(meme_out, "rb") as f, \
             open(os.path.join(GOLDEN_DIR, f"{stem}.meme"), "rb") as g:
         assert f.read() == g.read(), f"MEME output differs for {stem}"
@@ -60,6 +61,19 @@ def test_byte_identical_output(stem, args, check_json, tmp_path, capsys):
         with open(json_out, "rb") as f, \
                 open(os.path.join(GOLDEN_DIR, f"{stem}.json"), "rb") as g:
             assert f.read() == g.read(), f"JSON output differs for {stem}"
+    # stdout parity: the golden .log files captured the reference binary
+    # with stderr merged in; warnings (std::cerr in the reference,
+    # sys.stderr here) are checked on our stderr instead
+    log_path = os.path.join(GOLDEN_DIR, f"{stem}.log")
+    if os.path.exists(log_path):
+        with open(log_path) as g:
+            golden_lines = g.read().splitlines(keepends=True)
+        warnings = [ln for ln in golden_lines if ln.startswith("Warning:")]
+        expected_out = "".join(
+            ln for ln in golden_lines if not ln.startswith("Warning:"))
+        assert captured.out == expected_out, f"stdout differs for {stem}"
+        for ln in warnings:
+            assert ln.rstrip("\n") in captured.err
 
 
 @pytest.mark.slow
