@@ -37,23 +37,33 @@ def count_patterns_sharded(
 ):
     """Count patterns with sequences sharded across ``mesh``'s data axis.
 
-    Per-shard results are exact (the dedup rule never crosses sequence
-    boundaries, see ops/counting.py): each shard evaluates the
-    vectorized naive rule + suspicion certificate, tables psum over the
-    mesh, and the (rare) suspicious rows are exactly re-counted on host
-    and applied as a sparse delta before the rc mirror — reproducing the
-    serial table bit-for-bit.
+    Same transfer-minimal design as the single-device CountJob
+    (ops/counting.py): the packed 2-bit buffer shards over the data
+    axis, each shard counts its sequences with the vectorized exact
+    dedup + suspicion certificate, the per-shard tables all-reduce with
+    one integer ``psum`` over ICI, and only the canonical-id compaction
+    leaves the device; the rc mirror and the (rare) suspicious-row
+    fix-up run on host — reproducing the serial table bit-for-bit.
+
+    Returns (counts_np int32 [4**W] host table, ltot int).
     """
+    from ..ops.counting import (  # noqa: PLC0415
+        _apply_fixup_rows, _n_canonical, _unpack_codes, pack_codes,
+    )
+
     n_shards = mesh.devices.size
-    codes = _pad_batch(np.asarray(codes), n_shards)
+    codes = _pad_batch(np.ascontiguousarray(codes, dtype=np.uint8), n_shards)
+    seq_len = codes.shape[1]
+    packed = pack_codes(codes)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P("data", None),
-        out_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P("data")),
     )
-    def shard_count(shard_codes):
+    def shard_count(shard_buf):
+        shard_codes = _unpack_codes(shard_buf, seq_len)
         fwd, rc, valid = encoding.window_ids(shard_codes, length)
         if both_strands:
             cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
@@ -64,36 +74,77 @@ def count_patterns_sharded(
         flat_inc = counted.reshape(-1).astype(jnp.int32)
         local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
         local_ltot = valid.astype(jnp.int32).sum()
-        return (
-            jax.lax.psum(local, "data"),
-            jax.lax.psum(local_ltot, "data"),
-            suspicious,
-        )
+        counts = jax.lax.psum(local, "data")
+        ltot = jax.lax.psum(local_ltot, "data")
+        if both_strands:
+            canon = encoding.to_flat(encoding.canonical_mask(length))
+            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            vals = counts[canon_idx]
+        else:
+            vals = counts
+        return vals.astype(jnp.uint16), vals.max(), ltot, suspicious
 
     arr = jax.device_put(
-        jnp.asarray(codes), NamedSharding(mesh, P("data", None))
+        jnp.asarray(packed), NamedSharding(mesh, P("data", None))
     )
-    counts, ltot, suspicious = jax.jit(shard_count)(arr)
+    vals, max_count, ltot, suspicious = jax.device_get(
+        jax.jit(shard_count)(arr))
+    if int(max_count) > np.iinfo(np.uint16).max:
+        # overflow fallback: refetch the replicated full table as int32
+        vals = np.asarray(_sharded_counts_i32(
+            arr, seq_len, length, both_strands, mesh))
+
+    if both_strands:
+        from ..native import mirror_canonical_native  # noqa: PLC0415
+
+        counts_np = mirror_canonical_native(vals, length)
+        if counts_np is None:
+            counts_np = _np_mirror(vals, length)
+    else:
+        counts_np = vals.astype(np.int32)
 
     susp_np = np.asarray(suspicious)
     if susp_np.any():
-        counts_np = np.asarray(counts).astype(np.int64)
-        delta: dict = {}
-        for r in np.flatnonzero(susp_np):
-            for cid, dv in host_row_recount(
-                codes[r], length, both_strands
-            ).items():
-                delta[cid] = delta.get(cid, 0) + dv
-        for cid, dv in delta.items():
-            counts_np[cid] += dv
-        counts = jnp.asarray(counts_np.astype(np.int32))
+        counts64 = counts_np.astype(np.int64)
+        _apply_fixup_rows(
+            counts64, codes[np.flatnonzero(susp_np)], length, both_strands)
+        counts_np = counts64.astype(np.int32)
+    return counts_np, int(ltot)
 
-    if both_strands:
-        tens = encoding.to_tensor(counts, length)
-        canon = encoding.canonical_mask(length)
-        tens = jnp.where(canon, tens, encoding.rc_permute(tens))
-        counts = encoding.to_flat(tens)
-    return counts, ltot
+
+def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
+    from ..ops.counting import _n_canonical, _unpack_codes  # noqa: PLC0415
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P("data", None), out_specs=P(),
+    )
+    def shard_count(shard_buf):
+        shard_codes = _unpack_codes(shard_buf, seq_len)
+        fwd, rc, valid = encoding.window_ids(shard_codes, length)
+        cids = (jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands
+                else jnp.where(valid, fwd, -1))
+        counted, _ = naive_dedup(cids, length)
+        flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+        flat_inc = counted.reshape(-1).astype(jnp.int32)
+        local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+        counts = jax.lax.psum(local, "data")
+        if both_strands:
+            canon = encoding.to_flat(encoding.canonical_mask(length))
+            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            return counts[canon_idx]
+        return counts
+
+    return jax.jit(shard_count)(arr)
+
+
+def _np_mirror(vals: np.ndarray, length: int) -> np.ndarray:
+    ids = np.arange(4 ** length, dtype=np.int64)
+    rc = encoding.np_rc_permute(ids, length)
+    canon = np.flatnonzero(ids <= rc)
+    full = np.zeros(4 ** length, dtype=np.int32)
+    full[canon] = vals
+    full[rc[canon]] = vals
+    return full
 
 
 def count_bg_kmers_sharded(

@@ -122,11 +122,10 @@ class PatternTables:
         elif mesh is not None:
             from .parallel.sharded import count_patterns_sharded  # noqa: PLC0415
 
-            counts_flat, ltot = count_patterns_sharded(
+            self.counts_np, self.ltot = count_patterns_sharded(
                 padded_codes, W, self.both, mesh
             )
-            self.counts_np = np.asarray(counts_flat)
-            self.ltot = int(ltot)
+            self.bg_tensors.host_flat(self.k)
         else:
             # packed upload + canonical-compacted download + async
             # dispatch: the host builds its bg-probability table while
