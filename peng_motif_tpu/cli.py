@@ -281,9 +281,12 @@ def main(argv=None):
 
     try:
         sequence_set = load_sequence_set(cfg["input"])
+        # the reference always constructs a second SequenceSet for the
+        # background (src/Global.cpp:66-74), re-parsing the input when no
+        # separate file is given; do the same so parse warnings repeat
+        # identically
         bg_path = cfg["background_sequences"] or cfg["input"]
-        bg_set = (sequence_set if bg_path == cfg["input"]
-                  else load_sequence_set(bg_path))
+        bg_set = load_sequence_set(bg_path)
     except OSError as e:
         # reference: src/shared/SequenceSet.cpp:445-448
         print(f"Error: Cannot open FASTA file: {e.filename or e}",

@@ -77,6 +77,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.parse_fasta_sizes.restype = ctypes.c_int64
         lib.parse_fasta_fill.argtypes = [
@@ -552,10 +553,13 @@ def parse_fasta_native(filepath: str, alphabet=None):
     lib = get_lib()
     if lib is None:
         return None
+    import sys  # noqa: PLC0415
+
     n_seq = ctypes.c_int64()
     total = ctypes.c_int64()
+    n_empty = ctypes.c_int64()
     rc = lib.parse_fasta_sizes(filepath.encode(), ctypes.byref(n_seq),
-                               ctypes.byref(total))
+                               ctypes.byref(total), ctypes.byref(n_empty))
     if rc == -2:
         raise FastaFormatError(
             f"FASTA sequence contains space character: {filepath}"
@@ -564,6 +568,10 @@ def parse_fasta_native(filepath: str, alphabet=None):
         raise FastaFormatError(f"Wrong FASTA format: {filepath}")
     if rc != 0:
         return None
+    for _ in range(int(n_empty.value)):
+        # reference: SequenceSet.cpp:344-348
+        print(f"Warning: Ignore FASTA entry without sequence: {filepath}",
+              file=sys.stderr)
     codes = np.empty(int(total.value), dtype=np.uint8)
     lengths = np.empty(int(n_seq.value), dtype=np.int64)
     base_counts = np.empty(4, dtype=np.int64)

@@ -101,6 +101,7 @@ struct ParseResult {
   std::vector<uint8_t> codes;    // concatenated
   std::vector<int64_t> lengths;  // per sequence
   int64_t base_counts[4] = {0, 0, 0, 0};
+  int64_t n_empty = 0;           // entries without sequence (warned)
   int error = 0;
 };
 
@@ -155,8 +156,10 @@ int parse_file(const char* path, ParseResult& res) {
           res.lengths.push_back((int64_t)current.size());
           res.codes.insert(res.codes.end(), current.begin(), current.end());
           current.clear();
+        } else {
+          // reference: SequenceSet.cpp:344-348 warns per empty entry
+          res.n_empty++;
         }
-        // empty entry: warning in reference; silently skipped here
       }
       have_header = true;
       have_any_header = true;
@@ -172,9 +175,13 @@ int parse_file(const char* path, ParseResult& res) {
       return -3;  // sequence data before any header: wrong format
     }
   }
-  if (have_header && !current.empty()) {
-    res.lengths.push_back((int64_t)current.size());
-    res.codes.insert(res.codes.end(), current.begin(), current.end());
+  if (have_header) {
+    if (!current.empty()) {
+      res.lengths.push_back((int64_t)current.size());
+      res.codes.insert(res.codes.end(), current.begin(), current.end());
+    } else {
+      res.n_empty++;  // trailing empty entry also warns (EOF branch)
+    }
   }
   (void)have_any_header;
   return 0;
@@ -183,12 +190,13 @@ int parse_file(const char* path, ParseResult& res) {
 }  // namespace
 
 int64_t parse_fasta_sizes(const char* path, int64_t* n_sequences,
-                          int64_t* total_length) {
+                          int64_t* total_length, int64_t* n_empty) {
   ParseResult res;
   int err = parse_file(path, res);
   if (err) return err;
   *n_sequences = (int64_t)res.lengths.size();
   *total_length = (int64_t)res.codes.size();
+  *n_empty = res.n_empty;
   return 0;
 }
 

@@ -215,6 +215,13 @@ class CountJob:
         self._length = length
         self._both = both_strands
         self._seq_len = self._codes_np.shape[1]
+        # degenerate inputs (no sequences / all shorter than W): no
+        # windows exist; the reference runs through with an empty table
+        # (src/base_pattern.cpp:331-441 simply finds no valid windows)
+        self._empty = (self._codes_np.shape[0] == 0
+                       or self._seq_len < length)
+        if self._empty:
+            return
         self._buf_dev = jnp.asarray(pack_codes(self._codes_np))
         self._vals, self._max, self._ltot, self._susp = _count_device_packed(
             self._buf_dev, self._seq_len, length, both_strands)
@@ -222,9 +229,10 @@ class CountJob:
     def finish(self):
         """Block on the device result; returns (counts_np int32 [4**W],
         ltot int) with exact non-overlap semantics."""
-        from ..native import dedup_fixup_rows_native  # noqa: PLC0415
         from ..native import mirror_canonical_native  # noqa: PLC0415
 
+        if self._empty:
+            return np.zeros(4 ** self._length, dtype=np.int32), 0
         vals, max_count, ltot, susp_np = jax.device_get(
             (self._vals, self._max, self._ltot, self._susp))
         if int(max_count) > np.iinfo(np.uint16).max:
