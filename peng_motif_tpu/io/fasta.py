@@ -86,7 +86,7 @@ def read_fasta(
     header: Optional[str] = None
     chunks: List[str] = []
 
-    def flush():
+    def flush(final: bool = False):
         nonlocal header, chunks
         if header is None:
             return
@@ -100,6 +100,17 @@ def read_fasta(
             chunks = []
             return
         codes = alphabet.encode(seq)
+        if final:
+            # reference quirk: only the EOF-flushed (last) entry warns
+            # per undefined base (SequenceSet.cpp:395-404; the mid-file
+            # flush at :333 excludes silently)
+            for ch, code in zip(seq, codes.tolist()):
+                if code == 0:
+                    print(
+                        "Warning: The FASTA file contains an undefined "
+                        f"base: {ch} at sequence {header}",
+                        file=warn_stream,
+                    )
         np.add.at(base_counts, codes[codes > 0] - 1, 1)
         sset.sequences.append(codes)
         sset.headers.append(header)
@@ -135,7 +146,7 @@ def read_fasta(
                 chunks.append(line)
             else:
                 raise FastaFormatError(f"Wrong FASTA format: {filepath}")
-        flush()
+        flush(final=True)
 
     total = base_counts.sum()
     sset.base_frequencies = (

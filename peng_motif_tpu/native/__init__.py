@@ -78,6 +78,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.parse_fasta_sizes.restype = ctypes.c_int64
         lib.parse_fasta_fill.argtypes = [
@@ -558,8 +561,14 @@ def parse_fasta_native(filepath: str, alphabet=None):
     n_seq = ctypes.c_int64()
     total = ctypes.c_int64()
     n_empty = ctypes.c_int64()
+    n_undef = ctypes.c_int64()
+    header_buf = ctypes.create_string_buffer(65536)
+    undef_buf = ctypes.create_string_buffer(1 << 20)
     rc = lib.parse_fasta_sizes(filepath.encode(), ctypes.byref(n_seq),
-                               ctypes.byref(total), ctypes.byref(n_empty))
+                               ctypes.byref(total), ctypes.byref(n_empty),
+                               header_buf, ctypes.c_int64(65536),
+                               undef_buf, ctypes.c_int64(1 << 20),
+                               ctypes.byref(n_undef))
     if rc == -2:
         raise FastaFormatError(
             f"FASTA sequence contains space character: {filepath}"
@@ -572,6 +581,13 @@ def parse_fasta_native(filepath: str, alphabet=None):
         # reference: SequenceSet.cpp:344-348
         print(f"Warning: Ignore FASTA entry without sequence: {filepath}",
               file=sys.stderr)
+    # reference quirk: the EOF-flushed (last) entry warns per undefined
+    # base (SequenceSet.cpp:395-404)
+    if int(n_undef.value):
+        hdr = header_buf.value.decode(errors="replace")
+        for ch in undef_buf.value.decode(errors="replace"):
+            print("Warning: The FASTA file contains an undefined base: "
+                  f"{ch} at sequence {hdr}", file=sys.stderr)
     codes = np.empty(int(total.value), dtype=np.uint8)
     lengths = np.empty(int(n_seq.value), dtype=np.int64)
     base_counts = np.empty(4, dtype=np.int64)

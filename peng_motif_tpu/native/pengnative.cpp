@@ -102,6 +102,10 @@ struct ParseResult {
   std::vector<int64_t> lengths;  // per sequence
   int64_t base_counts[4] = {0, 0, 0, 0};
   int64_t n_empty = 0;           // entries without sequence (warned)
+  // the reference warns per undefined base only for the entry flushed
+  // at EOF (SequenceSet.cpp:395-404); mid-file entries exclude silently
+  std::string last_header;
+  std::string last_undef;
   int error = 0;
 };
 
@@ -140,6 +144,8 @@ int parse_file(const char* path, ParseResult& res) {
   bool have_header = false;
   bool have_any_header = false;
   std::vector<uint8_t> current;
+  std::string cur_header;
+  std::string cur_undef;
   size_t pos = 0;
   while (pos < end) {
     size_t nl = content.find('\n', pos);
@@ -161,6 +167,12 @@ int parse_file(const char* path, ParseResult& res) {
           res.n_empty++;
         }
       }
+      cur_undef.clear();
+      // bare ">" takes the 1-based sequence counter as header
+      // (reference: SequenceSet.cpp:351-356)
+      cur_header = (line_len == 1)
+          ? std::to_string(res.lengths.size() + 1)
+          : std::string(line + 1, line_len - 1);
       have_header = true;
       have_any_header = true;
     } else if (have_header) {
@@ -170,6 +182,7 @@ int parse_file(const char* path, ParseResult& res) {
         uint8_t c = code_of[ch];
         current.push_back(c);
         if (c) res.base_counts[c - 1]++;
+        else cur_undef.push_back((char)ch);
       }
     } else {
       return -3;  // sequence data before any header: wrong format
@@ -179,6 +192,8 @@ int parse_file(const char* path, ParseResult& res) {
     if (!current.empty()) {
       res.lengths.push_back((int64_t)current.size());
       res.codes.insert(res.codes.end(), current.begin(), current.end());
+      res.last_header = cur_header;
+      res.last_undef = cur_undef;
     } else {
       res.n_empty++;  // trailing empty entry also warns (EOF branch)
     }
@@ -190,13 +205,19 @@ int parse_file(const char* path, ParseResult& res) {
 }  // namespace
 
 int64_t parse_fasta_sizes(const char* path, int64_t* n_sequences,
-                          int64_t* total_length, int64_t* n_empty) {
+                          int64_t* total_length, int64_t* n_empty,
+                          char* last_header, int64_t header_cap,
+                          char* last_undef, int64_t undef_cap,
+                          int64_t* n_undef) {
   ParseResult res;
   int err = parse_file(path, res);
   if (err) return err;
   *n_sequences = (int64_t)res.lengths.size();
   *total_length = (int64_t)res.codes.size();
   *n_empty = res.n_empty;
+  snprintf(last_header, (size_t)header_cap, "%s", res.last_header.c_str());
+  snprintf(last_undef, (size_t)undef_cap, "%s", res.last_undef.c_str());
+  *n_undef = (int64_t)res.last_undef.size();
   return 0;
 }
 
@@ -597,6 +618,21 @@ extern "C" int64_t dedup_fixup_rows(const uint8_t* codes, int64_t n_rows,
         rc += (int64_t)(4 - c) << (2 * (w - 1 - p));
       }
       cid[j] = valid ? (both_strands ? std::min(fwd, rc) : fwd) : -1;
+    }
+    // post-N skip (reference scan quirk, see ops/counting.py
+    // scan_skip_mask): skip(s) = isN(s-1) & clean(s-d) & !skip(s-d),
+    // d = w + 1; skipped windows are neither counted nor eligible
+    {
+      const int64_t d = w + 1;
+      // clean(s) = window s has no N (cid >= 0 equals clean here since
+      // skip hasn't been applied to cid yet)
+      std::vector<uint8_t> skip(n_win, 0);
+      for (int64_t s = d; s < n_win; s++) {
+        skip[s] = (row[s - 1] == 0) && (cid[s - d] >= 0) && !skip[s - d];
+      }
+      for (int64_t s = 0; s < n_win; s++) {
+        if (skip[s]) cid[s] = -1;
+      }
     }
     // naive: blocked if any same-id window in the previous W-1 positions
     for (int64_t j = 0; j < n_win; j++) {

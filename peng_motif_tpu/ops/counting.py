@@ -46,6 +46,35 @@ import numpy as np
 from . import encoding
 
 
+def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
+    """Windows the reference scan never evaluates.
+
+    The reference's streaming scan (src/base_pattern.cpp:360-382), on
+    hitting an N at position q right after a processed window, advances
+    the next window start to q+2 — so the (otherwise clean) window
+    starting at q+1 is neither counted nor included in ltot.  A window
+    start s is skipped iff seq[s-1] is an N *and* the window starting
+    s-W-1 was processed (i.e. the N broke a streaming run):
+
+        skip(s) = isN(s-1) & clean(s-W-1) & !skip(s-W-1)
+
+    a stride-(W+1) recurrence, evaluated as a short shift fixpoint.
+    Returns the skip mask [B, NW]; processed = valid & ~skip.
+    """
+    n_win = valid.shape[1]
+    d = length + 1
+    is_n = codes == 0
+    if n_win <= d:
+        return jnp.zeros_like(valid)
+    # a[s] = isN[s-1] & valid[s-d]  for s in [d, n_win)
+    a = jnp.pad(is_n[:, d - 1 : n_win - 1] & valid[:, : n_win - d],
+                ((0, 0), (d, 0)))
+    skip = a
+    for _ in range((n_win + d - 1) // d):
+        skip = a & ~jnp.pad(skip[:, :-d], ((0, 0), (d, 0)))
+    return skip
+
+
 def naive_dedup(cids: jax.Array, length: int):
     """Vectorized dedup approximation + exactness certificate.
 
@@ -72,6 +101,7 @@ def naive_dedup(cids: jax.Array, length: int):
 @functools.partial(jax.jit, static_argnames=("length", "both_strands"))
 def _count_device(codes: jax.Array, length: int, both_strands: bool):
     fwd, rc, valid = encoding.window_ids(codes, length)
+    valid = valid & ~scan_skip_mask(codes.astype(jnp.int32), valid, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
 
@@ -159,6 +189,7 @@ def _count_device_packed(buf, seq_len: int, length: int,
     """
     codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
+    valid = valid & ~scan_skip_mask(codes, valid, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
 
@@ -186,6 +217,7 @@ def _count_device_packed_i32(buf, seq_len: int, length: int,
     """Overflow fallback: same program, int32 canonical values."""
     codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
+    valid = valid & ~scan_skip_mask(codes, valid, length)
     cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
         jnp.where(valid, fwd, -1))
     counted, _ = naive_dedup(cids, length)
@@ -341,15 +373,16 @@ def apply_dedup_fixup(
     return touched
 
 
-def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):
-    """Exact greedy recount of one sequence, returned as the sparse count
-    delta {canonical_id: exact - naive} (reference semantics:
-    src/base_pattern.cpp:331-393)."""
+def _row_cids_processed(row_codes: np.ndarray, length: int,
+                        both_strands: bool):
+    """Per-row canonical ids with the device's processed mask applied
+    (clean windows minus the reference scan's post-N skip; see
+    :func:`scan_skip_mask`).  Returns cid [NW] with -1 at unprocessed."""
     W = length
     c = np.asarray(row_codes, dtype=np.int64)
     n_win = c.shape[0] - W + 1
     if n_win <= 0:
-        return {}
+        return np.empty(0, dtype=np.int64)
     valid = np.ones(n_win, dtype=bool)
     fwd = np.zeros(n_win, dtype=np.int64)
     rc = np.zeros(n_win, dtype=np.int64)
@@ -358,13 +391,33 @@ def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):
         valid &= cc > 0
         fwd += (cc - 1) * (4 ** p)
         rc += (4 - cc) * (4 ** (W - 1 - p))
-    cid = np.where(valid, np.minimum(fwd, rc) if both_strands else fwd, -1)
+    d = W + 1
+    skip = np.zeros(n_win, dtype=bool)
+    for s in range(d, n_win):
+        skip[s] = (c[s - 1] == 0) and valid[s - d] and not skip[s - d]
+    processed = valid & ~skip
+    return np.where(processed, np.minimum(fwd, rc) if both_strands else fwd,
+                    -1)
+
+
+def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):
+    """Exact greedy recount of one sequence, returned as the sparse count
+    delta {canonical_id: exact - naive} (reference semantics:
+    src/base_pattern.cpp:331-393).  "naive" replicates the device's
+    vectorized decision (processed mask + W-1-shift blocking); "exact"
+    is the greedy last-accepted-position rule over processed windows,
+    equivalent to the reference scan automaton."""
+    W = length
+    cid = _row_cids_processed(row_codes, length, both_strands)
+    n_win = cid.shape[0]
+    if n_win == 0:
+        return {}
 
     blocked = np.zeros(n_win, dtype=bool)
     for d in range(1, min(W, n_win)):
         eq = (cid[d:] == cid[:-d]) & (cid[d:] >= 0) & (cid[:-d] >= 0)
         blocked[d:] |= eq
-    naive = valid & ~blocked
+    naive = (cid >= 0) & ~blocked
 
     exact = np.zeros(n_win, dtype=bool)
     last: dict = {}
@@ -381,6 +434,45 @@ def host_row_recount(row_codes: np.ndarray, length: int, both_strands: bool):
         i = int(cid[j])
         delta[i] = delta.get(i, 0) + (1 if exact[j] else -1)
     return delta
+
+
+def reference_scan_row(row_codes: np.ndarray, length: int,
+                       both_strands: bool):
+    """Direct transcription of the reference's rolling scan for one row
+    (src/base_pattern.cpp:331-393 / 395-441): returns
+    ({canonical_id: count}, ltot).  Test oracle for the vectorized
+    processed-mask + dedup formulation."""
+    W = length
+    c = np.asarray(row_codes, dtype=np.int64)
+    L = c.shape[0]
+    counts: dict = {}
+    last: dict = {}
+    ltot = 0
+    i = 0
+    while i < L:
+        p = 0
+        pid = 0
+        while p < W and i < L and c[i] > 0:
+            pid += (c[i] - 1) * (4 ** p)
+            p += 1
+            i += 1
+        if p < W:
+            i += 1  # outer-loop increment after `continue`
+            continue
+        while True:
+            s = i - W  # window start
+            cid = min(pid, _np_revcomp_id(int(pid), W)) if both_strands \
+                else int(pid)
+            if cid not in last or last[cid] + W <= s:
+                counts[cid] = counts.get(cid, 0) + 1
+                last[cid] = s
+            ltot += 1
+            if i >= L or c[i] == 0:
+                break
+            pid = pid // 4 + (c[i] - 1) * (4 ** (W - 1))
+            i += 1
+        i += 2  # explicit i++ after the stream + outer-loop increment
+    return counts, ltot
 
 
 def _np_revcomp_id(pattern: int, length: int) -> int:

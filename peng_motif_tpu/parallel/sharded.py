@@ -49,6 +49,7 @@ def count_patterns_sharded(
     """
     from ..ops.counting import (  # noqa: PLC0415
         _apply_fixup_rows, _n_canonical, _unpack_codes, pack_codes,
+        scan_skip_mask,
     )
 
     n_shards = mesh.devices.size
@@ -65,6 +66,7 @@ def count_patterns_sharded(
     def shard_count(shard_buf):
         shard_codes = _unpack_codes(shard_buf, seq_len)
         fwd, rc, valid = encoding.window_ids(shard_codes, length)
+        valid = valid & ~scan_skip_mask(shard_codes, valid, length)
         if both_strands:
             cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
         else:
@@ -119,8 +121,10 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
         jax.shard_map, mesh=mesh, in_specs=P("data", None), out_specs=P(),
     )
     def shard_count(shard_buf):
+        from ..ops.counting import _unpack_codes, scan_skip_mask  # noqa: PLC0415
         shard_codes = _unpack_codes(shard_buf, seq_len)
         fwd, rc, valid = encoding.window_ids(shard_codes, length)
+        valid = valid & ~scan_skip_mask(shard_codes, valid, length)
         cids = (jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands
                 else jnp.where(valid, fwd, -1))
         counted, _ = naive_dedup(cids, length)

@@ -53,8 +53,12 @@ def reference_count(seqs, W, both_strands):
                 pid += (int(seq[i]) - 1) * (4 ** (W - 1))
                 i += 1
                 j += 1
-            i += 1
-            j += 1
+            # the reference's explicit `i++; j++;` after the stream PLUS
+            # the outer for-loop increment: the window starting right
+            # after a stream-breaking N is never evaluated
+            # (src/base_pattern.cpp:377-382)
+            i += 2
+            j += 2
         j += W
     if both_strands:
         for pid in range(n):

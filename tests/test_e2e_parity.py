@@ -41,6 +41,16 @@ CASES = [
      ["MafK_100seqs.fasta", "-w", "8",
       "--minimum-processed-patterns", "10",
       "--max-optimized-patterns", "20"], False),
+    # synthetic dataset with 2% Ns: exercises N-window/validity handling
+    # end-to-end (counting, background model, climbs)
+    ("synth_w8", ["synthetic_n.fasta", "-w", "8"], True),
+    ("synth_w8_plus", ["synthetic_n.fasta", "-w", "8", "--strand", "PLUS"],
+     True),
+    ("synth_w6_noem", ["synthetic_n.fasta", "-w", "6", "--no-em"], True),
+    ("synth_w8_b02", ["synthetic_n.fasta", "-w", "8", "-b", "0.2"], True),
+    ("synth_w8_emiter3",
+     ["synthetic_n.fasta", "-w", "8", "--em-max-iterations", "3",
+      "--em-threshold", "0.2", "-a", "1000"], True),
 ]
 
 
