@@ -112,10 +112,9 @@ def _count_device(codes: jax.Array, length: int, both_strands: bool):
     counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
 
     if both_strands:
-        tens = encoding.to_tensor(counts, length)
-        canon = encoding.canonical_mask(length)
-        tens = jnp.where(canon, tens, encoding.rc_permute(tens))
-        counts = encoding.to_flat(tens)
+        canon = encoding.canonical_mask_flat(length)
+        rc_ids = encoding.rc_ids_flat(length)
+        counts = jnp.where(canon, counts, counts[rc_ids])
 
     ltot = valid.astype(jnp.int32).sum()
     return counts, ltot, suspicious
@@ -201,7 +200,7 @@ def _count_device_packed(buf, seq_len: int, length: int,
     ltot = valid.astype(jnp.int32).sum()
 
     if both_strands:
-        canon = encoding.to_flat(encoding.canonical_mask(length))
+        canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
         vals = counts[canon_idx]
     else:
@@ -225,7 +224,7 @@ def _count_device_packed_i32(buf, seq_len: int, length: int,
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
     if both_strands:
-        canon = encoding.to_flat(encoding.canonical_mask(length))
+        canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
         return counts[canon_idx]
     return counts

@@ -63,6 +63,26 @@ def rc_ids_tensor(length: int) -> jax.Array:
     return rc_permute(pattern_ids_tensor(length))
 
 
+def rc_ids_flat(length: int) -> jax.Array:
+    """Flat [4**W] int32 array of reverse-complement ids via bit
+    arithmetic — no rank-W intermediate.  Rank-W tensors tile on TPU as
+    T(4,128), padding the trailing (4, 4) dims 32x; the flat form keeps
+    the counting path's memory footprint exact (required for W >= 12,
+    faster everywhere)."""
+    ids = jnp.arange(4 ** length, dtype=jnp.int32)
+    rc = jnp.zeros_like(ids)
+    for p in range(length):
+        digit = (ids >> (2 * p)) & 3
+        rc = rc | ((3 - digit) << (2 * (length - 1 - p)))
+    return rc
+
+
+def canonical_mask_flat(length: int) -> jax.Array:
+    """Flat [4**W] bool mask: id <= revcomp(id) (see rc_ids_flat)."""
+    ids = jnp.arange(4 ** length, dtype=jnp.int32)
+    return ids <= rc_ids_flat(length)
+
+
 def canonical_mask(length: int) -> jax.Array:
     """Boolean rank-W tensor: id <= revcomp(id).
 

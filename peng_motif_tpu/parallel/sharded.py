@@ -79,7 +79,7 @@ def count_patterns_sharded(
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")
         if both_strands:
-            canon = encoding.to_flat(encoding.canonical_mask(length))
+            canon = encoding.canonical_mask_flat(length)
             (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
             vals = counts[canon_idx]
         else:
@@ -133,7 +133,7 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
         local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
         counts = jax.lax.psum(local, "data")
         if both_strands:
-            canon = encoding.to_flat(encoding.canonical_mask(length))
+            canon = encoding.canonical_mask_flat(length)
             (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
             return counts[canon_idx]
         return counts

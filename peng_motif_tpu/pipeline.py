@@ -177,14 +177,20 @@ class Peng:
 
         self._status("Optimizing expectation-maximization / merging patterns")
         results: List[Motif] = []
-        background = self.max_k if W - 1 >= self.max_k else W - 1
+        # the reference prints and tags the *unclamped* max_k
+        # (src/peng.cpp:397-399 uses this->max_k, not the W-1-clamped
+        # current_k_max; at W-1 < max_k it would read an uncomputed
+        # table, but the <=3-informative-positions filter leaves no
+        # motifs for EM in that regime) — tables are clamped here
+        background = self.max_k
+        table_order = min(background, W - 1)
         print(f"\nbackground order: {background}", file=self.out)
         with self.timer.phase("em+merge"):
             if params.use_em:
                 optimized = self._em_optimize(
                     candidates, tables,
                     params.em_saturation_factor, params.em_min_threshold,
-                    params.em_max_iterations, background, params.threads,
+                    params.em_max_iterations, table_order, params.threads,
                 )
             else:
                 optimized = candidates
