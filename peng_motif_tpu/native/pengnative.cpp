@@ -374,6 +374,52 @@ void sort_ids(std::vector<int64_t>& ids, std::vector<int64_t>& tmp,
 // counts_out (u64), expected_out (f32), bgp_out (f32).
 namespace {
 
+// Ascending enumerator over the product set of per-position value
+// lists: id = sum_p vals[p][idx[p]] << 2p.  Lexicographic order over
+// (digit_{W-1}, ..., digit_0) with ascending per-position values is
+// ascending numeric order, so incrementing position 0 fastest streams
+// the expansion in sorted order with O(1) work per element.
+struct AscendingExpansion {
+  int w;
+  int nvals[16];
+  int vals[16][4];
+  int idx[16];
+  int64_t id;
+  bool done;
+
+  void init_from(const int32_t* digits, int w_, bool complement) {
+    w = w_;
+    id = 0;
+    done = false;
+    for (int p = 0; p < w; p++) {
+      // complement stream: position p takes the complemented letters of
+      // source position w-1-p (rc of the IUPAC pattern)
+      const int* rep = kRep[digits[complement ? (w - 1 - p) : p]];
+      int n = rep[0];
+      nvals[p] = n;
+      for (int i = 0; i < n; i++) {
+        vals[p][i] = complement ? 3 - rep[n - i] : rep[1 + i];
+      }
+      idx[p] = 0;
+      id += (int64_t)vals[p][0] << (2 * p);
+    }
+  }
+
+  void advance() {
+    for (int p = 0; p < w; p++) {
+      int i = idx[p];
+      if (i + 1 < nvals[p]) {
+        id += (int64_t)(vals[p][i + 1] - vals[p][i]) << (2 * p);
+        idx[p] = i + 1;
+        return;
+      }
+      id -= (int64_t)(vals[p][i] - vals[p][0]) << (2 * p);
+      idx[p] = 0;
+    }
+    done = true;
+  }
+};
+
 // one candidate's aggregation; ids is a reusable scratch buffer
 void aggregate_one(
     const int32_t* digit_batch, int c, int w, int both_strands,
@@ -382,28 +428,49 @@ void aggregate_one(
     std::vector<int64_t>& ids, std::vector<int64_t>& tmp) {
   {
     const int32_t* digits = digit_batch + (int64_t)c * w;
-    ids.clear();
-    expand_iupac(digits, w, ids);
     uint64_t sum_counts;
     float sum_expected, sum_bgp;
     if (both_strands) {
+      // The reference folds the distinct canonical ids in ascending
+      // order (sort + consecutive-duplicate skip,
+      // src/iupac_pattern.cpp:331-369).  That set equals
+      //   {x in S : x <= rc(x)}  union  {x in rc(S) : x < rc(x)}
+      // where S is the expansion; both S and rc(S) (the expansion of
+      // the complemented-reversed pattern) stream in ascending order
+      // from odometers, so a sorted merge reproduces the exact fold
+      // order with no sort and O(1) work per expansion element.
       const uint32_t* lut = rc8_lut();
-      for (auto& id : ids) id = std::min(id, revcomp_id_fast(id, w, lut));
-      sort_ids(ids, tmp, 2 * w);
-      int64_t last = ids[0];
-      sum_counts = (uint64_t)counts[last];
-      sum_expected = expected[last];
-      sum_bgp = bgp[last];
-      for (size_t i = 1; i < ids.size(); i++) {
-        int64_t id = ids[i];
-        if (id != last) {
-          sum_counts += (uint64_t)counts[id];
-          sum_expected += expected[id];
-          sum_bgp += bgp[id];
+      AscendingExpansion fs, rs;
+      fs.init_from(digits, w, false);
+      rs.init_from(digits, w, true);
+      // starting the float folds at +0.0f is exact: the table values
+      // are non-negative and +0.0f + v == v bit-for-bit
+      sum_counts = 0;
+      sum_expected = 0.0f;
+      sum_bgp = 0.0f;
+      while (!fs.done || !rs.done) {
+        int64_t x;
+        bool from_s;
+        if (rs.done || (!fs.done && fs.id <= rs.id)) {
+          x = fs.id;
+          from_s = true;
+          if (!rs.done && rs.id == x) rs.advance();
+          fs.advance();
+        } else {
+          x = rs.id;
+          from_s = false;
+          rs.advance();
         }
-        last = id;
+        int64_t rcx = revcomp_id_fast(x, w, lut);
+        if (from_s ? (x <= rcx) : (x < rcx)) {
+          sum_counts += (uint64_t)counts[x];
+          sum_expected += expected[x];
+          sum_bgp += bgp[x];
+        }
       }
     } else {
+      ids.clear();
+      expand_iupac(digits, w, ids);
       int64_t first = ids[0];
       sum_counts = (uint64_t)counts[first];
       sum_expected = expected[first];
