@@ -186,8 +186,80 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, ctypes.c_uint32,
         ]
         lib.base_opt_score.restype = ctypes.c_float
+        lib.base_stats_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.base_stats_table.restype = None
+        lib.select_patterns_walk.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.select_patterns_walk.restype = ctypes.c_int64
         _lib = lib
         return _lib
+
+
+def base_stats_native(
+    counts: np.ndarray, bgp: np.ndarray, ltot: int
+) -> Optional[tuple]:
+    """Fused expected-counts + z-score tables with the reference's exact
+    float/double promotion points (see pengnative.cpp); None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    bgp = np.ascontiguousarray(bgp, dtype=np.float32)
+    n = counts.shape[0]
+    expected = np.empty(n, dtype=np.float32)
+    zscores = np.empty(n, dtype=np.float32)
+    lib.base_stats_table(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bgp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), ctypes.c_int64(int(ltot)),
+        expected.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        zscores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return expected, zscores
+
+
+def select_patterns_walk_native(
+    order: np.ndarray,
+    z: np.ndarray,
+    counts: np.ndarray,
+    w: int,
+    z_thr: float,
+    count_thr: int,
+    single_stranded: bool,
+    filter_neighbors: bool,
+) -> Optional[np.ndarray]:
+    """Seed-selection threshold walk (reference:
+    src/base_pattern.cpp:443-515); None when the native library is
+    unavailable.  Returns the selected pattern ids in walk order."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    order = np.ascontiguousarray(order, dtype=np.uint32)
+    z = np.ascontiguousarray(z, dtype=np.float32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    # every selection satisfies NOT (z < thr); NaN z never breaks the walk
+    cap = int(np.count_nonzero(~(z < np.float32(z_thr))))
+    out = np.empty(max(cap, 1), dtype=np.uint32)
+    n_sel = lib.select_patterns_walk(
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(z.shape[0]), ctypes.c_int(w),
+        ctypes.c_float(z_thr), ctypes.c_int32(count_thr),
+        ctypes.c_int(1 if single_stranded else 0),
+        ctypes.c_int(1 if filter_neighbors else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out[:n_sel]
 
 
 def zscore_sort_indices(z: np.ndarray) -> Optional[np.ndarray]:

@@ -923,6 +923,68 @@ extern "C" void base_log_pvalues_table(const int32_t* counts,
   });
 }
 
+// Expected counts + z-scores over the whole table in one threaded pass
+// with the reference's exact float/double promotion points
+// (reference: src/base_pattern.cpp:252-265): expected = bg_prob * (float)ltot
+// in float32; the z numerator subtracts size_t - float in float32, the
+// unqualified sqrt is the double overload so the division runs in double
+// before rounding back to float.
+extern "C" void base_stats_table(const int32_t* counts, const float* bgp,
+                                 int64_t n, int64_t ltot,
+                                 float* expected_out, float* zscores_out) {
+  const float ltot_f = (float)ltot;
+  parallel_ranges(n, [=](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      float e = bgp[i] * ltot_f;
+      expected_out[i] = e;
+      float num = (float)((size_t)counts[i] - e);
+      zscores_out[i] = (float)((double)num / sqrt((double)e));
+    }
+  });
+}
+
+// Seed-selection threshold walk over the z-sorted pattern order
+// (reference: select_base_patterns, src/base_pattern.cpp:443-515):
+// stop at the first pattern below the z threshold, skip low-count
+// patterns, skip patterns whose (reverse-complement) id was already
+// seen, and optionally mask all Hamming-1 neighbors of each selection.
+// `out` must hold at least as many slots as patterns at or above the
+// threshold (including NaN z-scores, which never break the walk).
+extern "C" int64_t select_patterns_walk(
+    const uint32_t* order, const float* z, const int32_t* counts,
+    int64_t n, int w, float z_thr, int32_t count_thr,
+    int single_stranded, int filter_neighbors, uint32_t* out) {
+  std::vector<uint8_t> seen(n, 0);
+  const uint32_t* lut = rc8_lut();
+  int64_t n_sel = 0;
+  for (int64_t idx = 0; idx < n; idx++) {
+    const uint32_t pat = order[idx];
+    if (z[pat] < z_thr) break;
+    if (counts[pat] < count_thr) continue;
+    bool ok;
+    if (single_stranded) {
+      ok = !seen[pat];
+    } else {
+      int64_t rc = revcomp_id_fast((int64_t)pat, w, lut);
+      ok = !seen[pat] && !seen[rc];
+    }
+    if (!ok) continue;
+    out[n_sel++] = pat;
+    seen[pat] = 1;
+    if (filter_neighbors) {
+      int64_t p4 = 1;
+      for (int p = 0; p < w; p++) {
+        const int64_t c = ((int64_t)pat >> (2 * p)) & 3;
+        const int64_t masked = (int64_t)pat - c * p4;
+        for (int64_t letter = 0; letter < 4; letter++)
+          seen[masked + letter * p4] = 1;
+        p4 <<= 2;
+      }
+    }
+  }
+  return n_sel;
+}
+
 // Background probability tables with the reference's exact left-to-right
 // float32 multiply order (reference: src/base_pattern.cpp:285-325), plus
 // optional double-strand aggregation (src/base_pattern.cpp:268-283).

@@ -140,17 +140,23 @@ class PatternTables:
         # everywhere, and log goes through the native helper for the
         # reference binary's exact libm
         self.bgp_np = self.bg_tensors.host_flat(self.k)
-        self.expected_np = self.bgp_np * np.float32(self.ltot)
-        counts_f = self.counts_np.astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            # (size_t - float) subtracts in float32; the unqualified
-            # sqrt is the global double overload, so the division runs
-            # in double before rounding back to float
-            # (reference: src/base_pattern.cpp:252-258)
-            num = (counts_f - self.expected_np).astype(np.float64)
-            self.zscores_np = (
-                num / np.sqrt(self.expected_np.astype(np.float64))
-            ).astype(np.float32)
+        from .native import base_stats_native  # noqa: PLC0415
+
+        stats = base_stats_native(self.counts_np, self.bgp_np, self.ltot)
+        if stats is not None:
+            self.expected_np, self.zscores_np = stats
+        else:
+            self.expected_np = self.bgp_np * np.float32(self.ltot)
+            counts_f = self.counts_np.astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # (size_t - float) subtracts in float32; the unqualified
+                # sqrt is the global double overload, so the division runs
+                # in double before rounding back to float
+                # (reference: src/base_pattern.cpp:252-258)
+                num = (counts_f - self.expected_np).astype(np.float64)
+                self.zscores_np = (
+                    num / np.sqrt(self.expected_np.astype(np.float64))
+                ).astype(np.float32)
         # the full z-sort (native std::sort, GIL released) overlaps with
         # the logp table build; _seed_order joins it
         self._order_thread = None
@@ -176,7 +182,7 @@ class PatternTables:
             # numpy fallback (may deviate by an ulp where numpy's log
             # differs from libm)
             with np.errstate(divide="ignore", invalid="ignore"):
-                n = counts_f
+                n = self.counts_np.astype(np.float32)
                 mu = self.expected_np
                 frac = (1.0 - mu / (n + 1)).astype(np.float32)
                 body = (n * np.log((mu / n).astype(np.float32)) + n - mu
@@ -324,6 +330,15 @@ class PatternTables:
         W = self.pattern_length
         z = self.zscores_np
         order = self._seed_order(zscore_threshold)
+
+        from .native import select_patterns_walk_native  # noqa: PLC0415
+
+        native = select_patterns_walk_native(
+            order, z, self.counts_np, W, zscore_threshold, count_threshold,
+            single_stranded, filter_neighbors,
+        )
+        if native is not None:
+            return [int(p) for p in native]
 
         seen = np.zeros(self.number_patterns, dtype=bool)
         selected: List[int] = []
