@@ -48,6 +48,11 @@ from .utils.logging_utils import PhaseTimer, get_logger
 
 F32 = np.float32
 
+# vectorized hill-climb move tables (see _optimize_iupac_patterns)
+_IUPAC_SIMILAR_ARR = tuple(
+    np.asarray(s, dtype=np.int32) for s in IUPAC_SIMILAR)
+_POW11 = 11 ** np.arange(19, dtype=np.int64)  # 11**19 would overflow int64
+
 
 @dataclass
 class PengParameters:
@@ -241,44 +246,58 @@ class Peng:
                 mother_digits = iupac_id_to_digits(mother, W)
                 current_seen: Set[int] = set()
 
-                # candidate batch: every position x every similar letter
-                cand_ids, cand_digits = [], []
-                for p in range(W):
-                    c = int(mother_digits[p])
-                    masked = mother - c * (11 ** p)
-                    for r in IUPAC_SIMILAR[c]:
-                        mutated = masked + r * (11 ** p)
-                        cand_ids.append(mutated)
-                        d = mother_digits.copy()
-                        d[p] = r
-                        cand_digits.append(d)
+                # candidate batch: every position x every similar letter,
+                # in reference evaluation order (src/peng.cpp:470-501) —
+                # built vectorized (the climb runs hundreds of steps)
+                sims = [_IUPAC_SIMILAR_ARR[c] for c in mother_digits]
+                pos_idx = np.repeat(
+                    np.arange(W), [s.shape[0] for s in sims])
+                letters = np.concatenate(sims)
+                n_cand = letters.shape[0]
+                cand_digits = np.repeat(
+                    mother_digits[None].astype(np.int32), n_cand, 0)
+                cand_digits[np.arange(n_cand), pos_idx] = letters
+                pow_p = _POW11[pos_idx]
+                cand_ids = (
+                    mother
+                    - mother_digits[pos_idx].astype(np.int64) * pow_p
+                    + letters.astype(np.int64) * pow_p
+                )
                 agg = tables.aggregate_and_score(
-                    np.stack(cand_digits), score_type, pseudo_expected
+                    cand_digits, score_type, pseudo_expected
                 )
                 if agg is not None:
                     # native single pass: stats + score already computed
                     counts, expected, bgp, zs, logp, scores = agg
-                    for idx, mutated in enumerate(cand_ids):
-                        current_seen.add(mutated)
-                        if scores[idx] < best_score:
-                            improved = True
-                            best_score = scores[idx]
-                            mutant = Motif(mutated, W)
-                            mutant.bg_p = bgp[idx]
-                            mutant.expected_counts = expected[idx]
-                            mutant.zscore = zs[idx]
-                            mutant.n_sites = int(counts[idx])
-                            mutant.local_n_sites[:] = mutant.n_sites
-                            mutant.log_pvalue = logp[idx]
-                            best = mutant
-                            self._print_climb_row(best, best_score)
+                    current_seen.update(cand_ids.tolist())
+                    # the reference walk accepts every strict improvement
+                    # over the running best (printing each); the accept
+                    # set is exactly scores[i] < min(best, scores[:i])
+                    # (fmin: NaN scores never update the running min,
+                    # matching `NaN < best` = false in the scalar walk)
+                    runmin = np.fmin.accumulate(
+                        np.concatenate(([np.float32(best_score)], scores))
+                    )
+                    for idx in np.flatnonzero(scores < runmin[:-1]):
+                        idx = int(idx)
+                        improved = True
+                        best_score = scores[idx]
+                        mutant = Motif(int(cand_ids[idx]), W)
+                        mutant.bg_p = bgp[idx]
+                        mutant.expected_counts = expected[idx]
+                        mutant.zscore = zs[idx]
+                        mutant.n_sites = int(counts[idx])
+                        mutant.local_n_sites[:] = mutant.n_sites
+                        mutant.log_pvalue = logp[idx]
+                        best = mutant
+                        self._print_climb_row(best, best_score)
                 else:
                     counts, expected, bgp = tables.aggregate_digits(
-                        np.stack(cand_digits)
+                        cand_digits
                     )
 
                     # sequential comparison in reference candidate order
-                    for idx, mutated in enumerate(cand_ids):
+                    for idx, mutated in enumerate(cand_ids.tolist()):
                         mutant = Motif(mutated, W)
                         mutant.set_aggregates(
                             int(counts[idx]), expected[idx], bgp[idx],
