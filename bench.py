@@ -45,22 +45,27 @@ def run_once(out_path, w):
     return out_path
 
 
-def _backend_alive(timeout_s: float = 120.0) -> bool:
+def _backend_alive(timeout_s: float = 150.0, attempts: int = 2) -> bool:
     """Probe the default backend in a subprocess under a timeout (the
     tunneled TPU backend can wedge; a hung bench is worse than a CPU
-    bench).  Out-of-process so this process's jax can still fall back."""
+    bench).  Out-of-process so this process's jax can still fall back.
+    Retried once: a single transient tunnel stall should not demote an
+    otherwise healthy device benchmark to the CPU fallback."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "jnp.ones((8,8)).sum().block_until_ready();print('ok')"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        return "ok" in r.stdout
-    except Exception:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "jnp.ones((8,8)).sum().block_until_ready();print('ok')"],
+                capture_output=True, timeout=timeout_s, text=True,
+            )
+            if "ok" in r.stdout:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def _best_of(n, fn):

@@ -199,8 +199,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.select_patterns_walk.restype = ctypes.c_int64
+        lib.count_rows_exact.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.count_rows_exact.restype = ctypes.c_int64
         _lib = lib
         return _lib
+
+
+def count_rows_exact_native(
+    codes: np.ndarray, w: int, both_strands: bool, n_threads: int = 0
+) -> Optional[tuple]:
+    """Full host-native k-mer counting with exact device-path semantics
+    (validity, post-N skip, greedy non-overlap, canonical mirroring; see
+    pengnative.cpp count_rows_exact).  Returns (counts int32 [4**w],
+    ltot) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if codes.ndim != 2:
+        codes = codes.reshape(1, -1)
+    table = np.empty(4 ** w, dtype=np.int32)
+    ltot = lib.count_rows_exact(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.shape[0]), ctypes.c_int64(codes.shape[1]),
+        ctypes.c_int(w), ctypes.c_int(1 if both_strands else 0),
+        ctypes.c_int(n_threads),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return table, int(ltot)
 
 
 def base_stats_native(

@@ -742,6 +742,138 @@ extern "C" int64_t dedup_fixup_rows(const uint8_t* codes, int64_t n_rows,
 }
 
 // --------------------------------------------------------------------------
+// Full host-native counting path (adaptive dispatch).
+//
+// The device program (ops/counting.py) wins on large corpora and on
+// device meshes, but a tunneled accelerator pays tens of ms of
+// dispatch + transfer latency that dominates small inputs; this
+// threaded host scan produces the identical table and ltot.  Semantics
+// match the device path exactly: window validity (no N), the reference
+// scan's post-N skip recurrence (skip(s) = isN(s-1) & clean(s-d) &
+// !skip(s-d), d = w+1), greedy non-overlap acceptance on canonical ids
+// (reference: src/base_pattern.cpp:362-366), ltot over processed
+// windows including rejected ones (src/base_pattern.cpp:367), and
+// revcomp mirroring for BOTH_STRANDS (src/base_pattern.cpp:386-392).
+// --------------------------------------------------------------------------
+
+namespace {
+
+void count_rows_range(const uint8_t* codes, int64_t row_lo, int64_t row_hi,
+                      int64_t row_len, int w, int both_strands,
+                      int32_t* table, int64_t* ltot_acc) {
+  const int64_t n_win = row_len - w + 1;
+  if (n_win <= 0) return;
+  const int64_t mask = ((int64_t)1 << (2 * w)) - 1;
+  const int shift_hi = 2 * (w - 1);
+  const int64_t d = w + 1;
+  int64_t ltot = 0;
+  // rings for the post-N skip recurrence (indexed by s % d)
+  std::vector<uint8_t> clean_ring(d), skip_ring(d);
+  // open-address map id -> last accepted window start, rebuilt per row
+  struct Slot { int64_t id; int64_t pos; };
+  size_t cap = 1;
+  while (cap < (size_t)n_win * 2) cap <<= 1;
+  std::vector<Slot> map(cap);
+  for (int64_t r = row_lo; r < row_hi; r++) {
+    const uint8_t* row = codes + r * row_len;
+    for (size_t i = 0; i < cap; i++) map[i] = {-1, -1};
+    int64_t fwd = 0, rc = 0;
+    int64_t last_n = -1;  // most recent N position seen so far
+    // prime the first w-1 bases
+    for (int64_t t = 0; t < w - 1; t++) {
+      const int c = row[t];
+      if (c == 0) last_n = t;
+      // N (c == 0) gets a masked dummy digit: windows containing it
+      // are invalid anyway, and an unmasked value would carry into
+      // neighboring digits of later, valid windows
+      fwd = (fwd >> 2) + ((int64_t)((c - 1) & 3) << shift_hi);
+      rc = ((rc << 2) & mask) + ((4 - c) & 3);
+    }
+    for (int64_t s = 0; s < n_win; s++) {
+      const int c = row[s + w - 1];
+      if (c == 0) last_n = s + w - 1;
+      // N (c == 0) gets a masked dummy digit: windows containing it
+      // are invalid anyway, and an unmasked value would carry into
+      // neighboring digits of later, valid windows
+      fwd = (fwd >> 2) + ((int64_t)((c - 1) & 3) << shift_hi);
+      rc = ((rc << 2) & mask) + ((4 - c) & 3);
+      const bool clean = last_n < s;
+      bool skip = false;
+      if (s >= d) {
+        skip = (row[s - 1] == 0) && clean_ring[s % d] && !skip_ring[s % d];
+      }
+      clean_ring[s % d] = clean;
+      skip_ring[s % d] = skip;
+      if (!clean || skip) continue;
+      ltot++;
+      const int64_t id = both_strands ? std::min(fwd, rc) : fwd;
+      size_t h = ((uint64_t)id * 0x9E3779B97F4A7C15ull) & (cap - 1);
+      while (map[h].id != -1 && map[h].id != id) h = (h + 1) & (cap - 1);
+      if (map[h].id == -1 || s - map[h].pos >= w) {
+        table[id]++;
+        map[h].id = id;
+        map[h].pos = s;
+      }
+    }
+  }
+  *ltot_acc += ltot;
+}
+
+}  // namespace
+
+extern "C" int64_t count_rows_exact(const uint8_t* codes, int64_t n_rows,
+                                    int64_t row_len, int w, int both_strands,
+                                    int n_threads, int32_t* table_out) {
+  const int64_t n = (int64_t)1 << (2 * w);
+  memset(table_out, 0, sizeof(int32_t) * n);
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  // per-thread tables; cap the replication for very wide W
+  const int64_t max_extra = ((int64_t)512 << 20) / (int64_t)(sizeof(int32_t) * n);
+  if (n_threads > max_extra) n_threads = (int)std::max<int64_t>(1, max_extra);
+  if (n_threads > n_rows) n_threads = (int)std::max<int64_t>(1, n_rows);
+  int64_t ltot = 0;
+  if (n_threads == 1) {
+    count_rows_range(codes, 0, n_rows, row_len, w, both_strands, table_out,
+                     &ltot);
+  } else {
+    std::vector<std::vector<int32_t>> tables(n_threads - 1);
+    std::vector<int64_t> ltots(n_threads, 0);
+    std::vector<std::thread> pool;
+    const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; t++) {
+      tables[t - 1].assign(n, 0);
+      const int64_t lo = t * chunk;
+      const int64_t hi = std::min(n_rows, lo + chunk);
+      pool.emplace_back([=, &tables, &ltots]() {
+        if (lo < hi)
+          count_rows_range(codes, lo, hi, row_len, w, both_strands,
+                           tables[t - 1].data(), &ltots[t]);
+      });
+    }
+    count_rows_range(codes, 0, std::min(n_rows, chunk), row_len, w,
+                     both_strands, table_out, &ltots[0]);
+    for (auto& th : pool) th.join();
+    for (int t = 1; t < n_threads; t++) {
+      const int32_t* src = tables[t - 1].data();
+      parallel_ranges(n, [=](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) table_out[i] += src[i];
+      });
+    }
+    for (int t = 0; t < n_threads; t++) ltot += ltots[t];
+  }
+  if (both_strands) {
+    // mirror canonical counts to reverse-complement ids
+    const uint32_t* lut = rc8_lut();
+    for (int64_t id = 0; id < n; id++) {
+      const int64_t rcid = revcomp_id_fast(id, w, lut);
+      if (id < rcid) table_out[rcid] = table_out[id];
+    }
+  }
+  return ltot;
+}
+
+// --------------------------------------------------------------------------
 // Optimization scores with exact reference float semantics.
 // (reference: src/utils.h:10-37, src/iupac_pattern.cpp:446-469,648-689)
 // --------------------------------------------------------------------------

@@ -38,12 +38,18 @@ non-overlap rule (src/base_pattern.cpp:367).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import encoding
+
+
+def _host_count_max_bases() -> int:
+    """Inputs at or below this many bases count on host (see CountJob)."""
+    return int(os.environ.get("PENG_COUNT_HOST_MAX_BASES", 8_000_000))
 
 
 def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
@@ -246,6 +252,8 @@ class CountJob:
         self._length = length
         self._both = both_strands
         self._seq_len = self._codes_np.shape[1]
+        self._host_thread = None
+        self._host_result = None
         # degenerate inputs (no sequences / all shorter than W): no
         # windows exist; the reference runs through with an empty table
         # (src/base_pattern.cpp:331-441 simply finds no valid windows)
@@ -253,6 +261,32 @@ class CountJob:
                        or self._seq_len < length)
         if self._empty:
             return
+        # adaptive dispatch: a (possibly tunneled) accelerator pays tens
+        # of ms of dispatch + transfer latency, which dominates small
+        # inputs; those take the threaded host scan (identical table and
+        # ltot, cross-validated in tests/test_counting.py).  Large
+        # corpora amortize the transfer and go to the device.  Set
+        # PENG_COUNT_HOST_MAX_BASES=0 to force the device path.
+        if self._codes_np.size <= _host_count_max_bases():
+            from ..native import (  # noqa: PLC0415
+                count_rows_exact_native, get_lib)
+
+            if get_lib() is not None:
+                import threading  # noqa: PLC0415
+
+                result = [None]
+
+                def _run():
+                    result[0] = count_rows_exact_native(
+                        self._codes_np, length, both_strands)
+
+                self._host_result = result
+                # ctypes releases the GIL: the caller's background-table
+                # build overlaps with the scan, as on the device path
+                self._host_thread = threading.Thread(
+                    target=_run, daemon=True)
+                self._host_thread.start()
+                return
         self._buf_dev = jnp.asarray(pack_codes(self._codes_np))
         self._vals, self._max, self._ltot, self._susp = _count_device_packed(
             self._buf_dev, self._seq_len, length, both_strands)
@@ -261,6 +295,10 @@ class CountJob:
         """Block on the device result; returns (counts_np int32 [4**W],
         ltot int) with exact non-overlap semantics."""
         from ..native import mirror_canonical_native  # noqa: PLC0415
+
+        if self._host_thread is not None:
+            self._host_thread.join()
+            return self._host_result[0]
 
         if self._empty:
             return np.zeros(4 ** self._length, dtype=np.int32), 0

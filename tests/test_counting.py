@@ -118,3 +118,39 @@ def test_random_sequences_with_ns():
                 np.testing.assert_array_equal(
                     np.asarray(got, dtype=np.int64), want
                 )
+
+
+@pytest.mark.parametrize("strings", CASES)
+@pytest.mark.parametrize("both", [True, False])
+@pytest.mark.parametrize("W", [4, 6])
+def test_host_native_counter_matches_reference(strings, both, W):
+    """The adaptive-dispatch host scan (native count_rows_exact) must
+    produce the identical table and ltot on every adversarial case."""
+    from peng_motif_tpu.native import count_rows_exact_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    seqs = [encode(s) for s in strings]
+    want, want_ltot = reference_count(seqs, W, both)
+    got, got_ltot = count_rows_exact_native(pad(seqs), W, both)
+    assert got_ltot == want_ltot
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_host_native_counter_random():
+    from peng_motif_tpu.native import count_rows_exact_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        seqs = [
+            rng.integers(0, 5, size=rng.integers(3, 60)).astype(np.uint8)
+            for _ in range(7)
+        ]
+        for W in (4, 6):
+            for both in (True, False):
+                want, want_ltot = reference_count(seqs, W, both)
+                got, got_ltot = count_rows_exact_native(pad(seqs), W, both)
+                assert got_ltot == want_ltot
+                np.testing.assert_array_equal(got.astype(np.int64), want)
