@@ -205,8 +205,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.count_rows_exact.restype = ctypes.c_int64
+        lib.zscore_sort_prefix.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.zscore_sort_prefix.restype = None
         _lib = lib
         return _lib
+
+
+def zscore_sort_prefix_indices(
+    z: np.ndarray, zscore_threshold: float
+) -> Optional[np.ndarray]:
+    """Descending z-order whose above-threshold prefix (all the seed
+    walk ever reads) is element-for-element identical to the full
+    libstdc++ std::sort, with recursion into never-read subranges
+    pruned (see pengnative.cpp zscore_sort_prefix)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(z, dtype=np.float32)
+    out = np.empty(z.shape[0], dtype=np.uint32)
+    lib.zscore_sort_prefix(
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_uint64(z.shape[0]), ctypes.c_float(zscore_threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def count_rows_exact_native(

@@ -76,6 +76,92 @@ void zscore_sort_indices(const float* z, uint64_t n, uint32_t* out) {
   for (uint64_t i = 0; i < n; i++) out[i] = v[i].i;
 }
 
+// Prefix-pruned z-sort.  The seed-selection walk only ever reads the
+// order array up to the first below-threshold entry, so subranges of
+// the introsort recursion that lie entirely beyond that prefix never
+// influence anything observable — but their tie placement would still
+// have to match libstdc++'s std::sort if they were sorted.  This
+// variant therefore drives the SAME libstdc++ internals
+// (std::__unguarded_partition_pivot / __partial_sort /
+// __insertion_sort) in std::sort's exact control flow, skipping only
+// recursion into subranges [cut, last) with cut >= keep_end:
+//   * quicksort subranges are independent once partitioned, so pruning
+//     one never changes pivot choices or comparison outcomes elsewhere;
+//   * after __introsort_loop every element sits in a partition chunk
+//     (<= 16 long) that contains its final position, and the final
+//     insertion pass never moves an element across a chunk boundary
+//     past an equal one, so an element from a chunk starting at or
+//     beyond keep_end can never land inside [0, keep_end);
+//   * truncating the final insertion pass at keep_end + 16 (covering
+//     the chunk straddling keep_end) therefore leaves [0, keep_end)
+//     element-for-element identical to the full std::sort.
+// NaN z-scores break strict weak ordering (the full sort's result is
+// then control-flow-defined), so any NaN falls back to the full sort.
+}  // extern "C" (templates below need C++ linkage)
+
+namespace {
+
+struct ZIPair {
+  float z;
+  uint32_t i;
+};
+
+template <typename It, typename Comp>
+void pruned_introsort_loop(It first, It last, It keep_end,
+                           int64_t depth_limit, Comp comp) {
+  // transcription of std::__introsort_loop (bits/stl_algo.h) with the
+  // keep_end prune; _S_threshold = 16
+  while (last - first > 16) {
+    if (depth_limit == 0) {
+      std::__partial_sort(first, last, last, comp);
+      return;
+    }
+    --depth_limit;
+    It cut = std::__unguarded_partition_pivot(first, last, comp);
+    if (cut < keep_end)
+      pruned_introsort_loop(cut, last, keep_end, depth_limit, comp);
+    last = cut;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void zscore_sort_prefix(const float* z, uint64_t n, float thr,
+                        uint32_t* out) {
+  uint64_t keep = 0;
+  bool has_nan = false;
+  for (uint64_t i = 0; i < n; i++) {
+    if (std::isnan(z[i])) has_nan = true;
+    if (!(z[i] < thr)) keep++;
+  }
+  std::vector<ZIPair> v(n);
+  for (uint64_t i = 0; i < n; i++) v[i] = {z[i], (uint32_t)i};
+  auto comp = [](const ZIPair& a, const ZIPair& b) { return a.z > b.z; };
+  if (has_nan || keep + 32 >= n || n <= 16) {
+    std::sort(v.begin(), v.end(), comp);
+  } else {
+    ZIPair* first = v.data();
+    ZIPair* last = first + n;
+    // the walk reads indices [0, keep] (entry `keep` is the breaking,
+    // first below-threshold one)
+    ZIPair* keep_end = first + (keep + 1);
+    auto wcomp = __gnu_cxx::__ops::__iter_comp_iter(comp);
+    pruned_introsort_loop(first, last, keep_end,
+                          std::__lg((int64_t)n) * 2, wcomp);
+    ZIPair* fin = std::min(last, keep_end + 16);
+    // truncated std::__final_insertion_sort
+    if (fin - first > 16) {
+      std::__insertion_sort(first, first + 16, wcomp);
+      std::__unguarded_insertion_sort(first + 16, fin, wcomp);
+    } else {
+      std::__insertion_sort(first, fin, wcomp);
+    }
+  }
+  for (uint64_t i = 0; i < n; i++) out[i] = v[i].i;
+}
+
 // Ascending std::sort of indices by float key: reproduces the reference's
 // motif ordering (reference: sort_IUPAC_patterns,
 // src/iupac_pattern.cpp:847-849) including introsort tie placement for
@@ -1155,9 +1241,10 @@ extern "C" void bg_prob_table_native(const float* v_concat,
   });
   if (both_strands) {
     const float* src = base.data();
+    const uint32_t* lut = rc8_lut();
     parallel_ranges(n, [=](int64_t lo, int64_t hi) {
       for (int64_t id = lo; id < hi; id++) {
-        int64_t rc = revcomp_id(id, w);
+        int64_t rc = revcomp_id_fast(id, w, lut);
         out[id] = (id == rc) ? src[id] : src[id] + src[rc];
       }
     });

@@ -97,6 +97,7 @@ class PatternTables:
         n_sequences: int,
         mesh=None,
         precomputed=None,
+        zscore_threshold=None,
     ):
         self.pattern_length = W = pattern_length
         self.strand = strand
@@ -157,21 +158,29 @@ class PatternTables:
                 self.zscores_np = (
                     num / np.sqrt(self.expected_np.astype(np.float64))
                 ).astype(np.float32)
-        # the full z-sort (native std::sort, GIL released) overlaps with
-        # the logp table build; _seed_order joins it
+        # the z-sort (native, GIL released) overlaps with the logp table
+        # build; _seed_order joins it.  With a known selection threshold
+        # the prefix-pruned variant is used (~8x faster; identical on
+        # the consumed prefix — see pengnative.cpp zscore_sort_prefix).
         self._order_thread = None
         self._order_result = [None]
+        self._order_thr = (None if zscore_threshold is None
+                           else float(zscore_threshold))
         from .native import get_lib  # noqa: PLC0415
 
         if get_lib() is not None:
             import threading  # noqa: PLC0415
 
-            from .native import zscore_sort_indices  # noqa: PLC0415
+            from .native import (  # noqa: PLC0415
+                zscore_sort_indices, zscore_sort_prefix_indices)
 
             z = self.zscores_np
+            thr = self._order_thr
 
             def _sort():
-                self._order_result[0] = zscore_sort_indices(z)
+                self._order_result[0] = (
+                    zscore_sort_indices(z) if thr is None
+                    else zscore_sort_prefix_indices(z, thr))
 
             self._order_thread = threading.Thread(target=_sort, daemon=True)
             self._order_thread.start()
@@ -385,7 +394,10 @@ class PatternTables:
         if getattr(self, "_order_thread", None) is not None:
             self._order_thread.join()
             self._order_thread = None
-            if self._order_result[0] is not None:
+            thread_thr = getattr(self, "_order_thr", None)
+            usable = (thread_thr is None
+                      or thread_thr == float(zscore_threshold))
+            if usable and self._order_result[0] is not None:
                 return self._order_result[0]
         order = zscore_sort_indices(z)
         if order is not None:

@@ -136,6 +136,7 @@ class Peng:
                 W, self.strand, current_k, current_max_k,
                 self.sequence_set.padded(), self.bg_model, self.n_sequences,
                 mesh=params.mesh, precomputed=precomputed,
+                zscore_threshold=params.zscore_threshold,
             )
 
         if params.save_checkpoint:

@@ -154,3 +154,27 @@ def test_host_native_counter_random():
                 got, got_ltot = count_rows_exact_native(pad(seqs), W, both)
                 assert got_ltot == want_ltot
                 np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_pruned_zsort_prefix_matches_full_sort():
+    """The prefix-pruned z-sort must reproduce the full libstdc++
+    std::sort element-for-element on the consumed (above-threshold + 1)
+    prefix, including tie placement, on tie-heavy inputs."""
+    from peng_motif_tpu.native import (
+        get_lib, zscore_sort_indices, zscore_sort_prefix_indices)
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        n = int(rng.integers(30, 200_000))
+        half = rng.normal(0, 4, n // 2).astype(np.float32)
+        half = np.round(half, 1).astype(np.float32)  # heavy ties
+        z = np.concatenate([half, half, half[: n - 2 * (n // 2)]])
+        z = z[rng.permutation(n)]
+        thr = float(rng.choice([-2.0, 0.0, 3.0, 6.0]))
+        keep = int(np.count_nonzero(~(z < np.float32(thr))))
+        got = zscore_sort_prefix_indices(z, thr)
+        want = zscore_sort_indices(z)
+        m = min(keep + 1, n)
+        np.testing.assert_array_equal(got[:m], want[:m])
