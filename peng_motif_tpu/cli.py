@@ -108,6 +108,11 @@ HELP = """
 
  TPU-native extensions:
 
+      --engine <tpu|exact|auto>
+                               tpu: device-resident fast engine;
+                               exact: byte-parity host engine;
+                               auto (default): tpu when an accelerator
+                               is attached
       --devices <N>            shard counting over N devices (data parallel)
       --profile <TRACE_DIR>    capture a JAX profiler trace
       --save-checkpoint <DIR>  persist count table + background model
@@ -168,6 +173,7 @@ def parse_args(argv):
         "verbosity": 2,
         "threads": 1,
         "devices": None,
+        "engine": "auto",
         "profile": None,
         "save_checkpoint": None,
         "load_checkpoint": None,
@@ -258,6 +264,14 @@ def parse_args(argv):
             sys.exit(0)
         elif arg == "--devices":
             cfg["devices"] = int(_need_value(argv, i, arg)); i += 1
+        elif arg == "--engine":
+            val = _need_value(argv, i, arg); i += 1
+            if val not in ("tpu", "exact", "auto"):
+                print(HELP)
+                print("Unknown expression following --engine",
+                      file=sys.stderr)
+                sys.exit(4)
+            cfg["engine"] = val
         elif arg == "--profile":
             cfg["profile"] = _need_value(argv, i, arg); i += 1
         elif arg == "--save-checkpoint":
@@ -330,6 +344,7 @@ def main(argv=None):
         max_optimized_patterns=cfg["max_optimized_patterns"],
         max_merged_length=cfg["max_merged_length"],
         mesh=mesh,
+        engine=cfg["engine"],
         save_checkpoint=cfg["save_checkpoint"],
         load_checkpoint=cfg["load_checkpoint"],
         threads=cfg["threads"] if cfg["threads"] > 1 else 0,

@@ -1,0 +1,505 @@
+"""TPU engine: the device-resident four-phase pipeline.
+
+This is the fast product path (``--engine tpu``): every 4**W table
+lives on device from counting to EM, and the pipeline runs as a handful
+of fused device programs —
+
+  1. ``count_device_full``       packed upload -> mirrored count table
+                                 (resident), ltot + suspicion out
+  2. ``stats_topk_program``      sparse dedup fix-up, background DP for
+                                 all orders, expected/z/log-pvalues,
+                                 top-K seed candidates out
+  3. ``climb_program``           the whole IUPAC hill climb (ops/climb)
+  4. ``adv_pwm_counts_program``  all letter-substitution sums at once
+  5. ``em_optimize_flat``        batched EM over all motifs
+
+Greedy host decisions (seed selection walk, filtering, merging) operate
+only on the small downloaded summaries, mirroring the reference's
+control flow (src/peng.cpp:322-435) exactly.
+
+Parity contract: integer quantities (counts, ltot, selection) are exact;
+float statistics may differ from the byte-exact ``--engine exact`` path
+in the last ulps (device reduction order + backend libm), which can
+surface as last-digit differences in printed scores.  Decisions are
+strict float comparisons, so knife-edge accept flips are possible in
+principle; the e2e tests pin equality on the golden datasets.  When a
+device-side capacity is exceeded the engine raises :class:`EngineFallback`
+and the caller reruns the byte-exact engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alphabets import (
+    IUPAC_MASKS,
+    LOG_BONFERRONI,
+    base_id_to_string,
+    base_revcomp_id,
+)
+from .models.motif import MIN_MERGE_OVERLAP, Motif
+from .ops import em as em_ops
+from .ops import flat_tables as ft
+from .ops.climb import ClimbResult, run_climb
+from .ops.counting import count_device_full, fixup_delta_pairs, pack_codes
+
+F32 = np.float32
+
+
+class EngineFallback(Exception):
+    """Raised when the TPU engine cannot guarantee reference semantics
+    for this input (capacity overflow, degenerate input); the caller
+    reruns the exact engine."""
+
+
+# ---------------------------------------------------------------------------
+# device programs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "order_k", "order_max", "both"))
+def stats_program(counts, v, ltot, fix_ids, fix_dv,
+                  length: int, order_k: int, order_max: int, both: bool):
+    """Sparse dedup fix-up + background DP + per-pattern statistics
+    (reference: src/base_pattern.cpp:231-325).  Every output stays
+    resident on device — the dispatch is asynchronous and overlaps the
+    host's seed selection."""
+    counts = counts.at[fix_ids].add(fix_dv)
+    bgp = ft.bg_prob_flat(v, length, order_k)
+    if both:
+        bgp = ft.aggregate_double_strand_flat(bgp, length)
+    expected = bgp * ltot.astype(jnp.float32)
+    logp = ft.base_log_pvalues_flat(counts, expected)
+    if order_max != order_k:
+        bg_max = ft.bg_prob_flat(v, length, order_max)
+        if both:
+            bg_max = ft.aggregate_double_strand_flat(bg_max, length)
+    else:
+        bg_max = bgp
+    return dict(counts=counts, bgp=bgp, expected=expected, logp=logp,
+                bg_max=bg_max)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "both"))
+def _compact_counts_i32(counts, length: int, both: bool):
+    """uint16-overflow refetch: canonical slice of the resident table."""
+    if both:
+        from .ops.counting import _n_canonical  # noqa: PLC0415
+
+        canon = ft.canonical_mask(length)
+        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        return counts[canon_idx]
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("length", "both"))
+def adv_pwm_counts_program(digit_mat, counts_flat, length: int, both: bool):
+    """Adv-PWM occurrence sums: for every motif, position p and base a,
+    the aggregate count of the motif with position p replaced by a
+    (reference: src/iupac_pattern.cpp:505-536).  Closed form in the
+    motif's single-position / pair marginals — one table pass per motif
+    instead of 4W expansions."""
+    counts_f = counts_flat.astype(jnp.float32)
+    if both:
+        canon = ft.canonical_mask(length)
+        counts_c = jnp.where(canon, counts_f, 0.0)
+    else:
+        counts_c = counts_f
+    masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=jnp.float32)
+    half = length // 2
+
+    def one(digits):
+        m = masks_tbl[digits]
+        marg1 = ft.all_marginals(counts_c, m, length)          # [W, 4]
+        if not both:
+            return marg1
+        mrc = m[::-1, ::-1]
+        marg2 = ft.all_marginals(counts_c, mrc, length)
+        pm = ft.pair_marginals(counts_c, m * mrc, length)      # [W/2, 4, 4]
+        s2 = marg2[::-1, ::-1]
+        ad1 = jnp.diagonal(pm[:, :, ::-1], axis1=-2, axis2=-1)  # pm[i,a,3-a]
+        ad2 = jnp.diagonal(pm[:, ::-1, :], axis1=-2, axis2=-1)  # pm[i,3-a,a]
+        upper = ad1 * m[half:, ::-1][::-1]
+        lower = (ad2 * m[:half, ::-1])[::-1]
+        s3 = jnp.concatenate([upper, lower], axis=0)
+        return marg1 + s2 - s3
+
+    return jax.vmap(one)(digit_mat)
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _mirror_host(vals: np.ndarray, W: int, both: bool) -> np.ndarray:
+    """Expand the canonical-compacted device slice to the full mirrored
+    host table (reference mirror step: src/base_pattern.cpp:386-392)."""
+    if not both:
+        return np.asarray(vals, dtype=np.int32).copy()
+    from .native import mirror_canonical_native  # noqa: PLC0415
+
+    counts = mirror_canonical_native(vals, W)
+    if counts is None:
+        from .ops.counting import (  # noqa: PLC0415
+            _np_canonical_mask_flat, _np_revcomp_id)
+
+        counts = np.zeros(4 ** W, dtype=np.int32)
+        canon = np.flatnonzero(_np_canonical_mask_flat(W))
+        counts[canon] = vals
+        rcs = np.array([_np_revcomp_id(int(i), W) for i in canon],
+                       dtype=np.int64)
+        counts[rcs] = vals
+    return counts
+
+
+def _host_bg_flat(v, W: int, order: int, both: bool) -> np.ndarray:
+    """Host background table in the reference's exact fold order
+    (identical machinery to the exact engine, pattern_tables.py)."""
+    from .models.background import BackgroundModel  # noqa: F401,PLC0415
+    from .native import bg_prob_table_native_fn  # noqa: PLC0415
+    from .ops import bgprobs  # noqa: PLC0415
+
+    v_host = [np.asarray(vk, dtype=np.float32) for vk in v[: order + 1]]
+    p = bg_prob_table_native_fn(v_host, W, order, both)
+    if p is None:
+        p = bgprobs.host_bg_prob_flat(v_host, W, order)
+        if both:
+            p = bgprobs.host_aggregate_double_strand_flat(p, W)
+    return p
+
+
+def _host_base_stats(counts: np.ndarray, bgp: np.ndarray, ltot: int):
+    """(expected, zscores) with the reference's float promotion points
+    (reference: src/base_pattern.cpp:252-265)."""
+    from .native import base_stats_native  # noqa: PLC0415
+
+    stats = base_stats_native(counts, bgp, ltot)
+    if stats is not None:
+        return stats
+    expected = bgp * np.float32(ltot)
+    counts_f = counts.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        num = (counts_f - expected).astype(np.float64)
+        z = (num / np.sqrt(expected.astype(np.float64))).astype(np.float32)
+    return expected, z
+
+
+def _select_seeds_host(z: np.ndarray, counts: np.ndarray, W: int,
+                       zthr: float, count_thr: int, single: bool,
+                       filter_neighbors: bool) -> List[int]:
+    """Byte-exact seed selection: libstdc++ z-sort (native, reproducing
+    the reference binary's tie placement) + the greedy threshold walk
+    (reference: src/base_pattern.cpp:443-515)."""
+    from .native import (  # noqa: PLC0415
+        select_patterns_walk_native, zscore_sort_indices,
+        zscore_sort_prefix_indices)
+
+    order = zscore_sort_prefix_indices(z, float(zthr))
+    if order is None:
+        order = zscore_sort_indices(z)
+    if order is None:
+        # no native toolchain: above-threshold subset with ascending-id
+        # tie-break (documented deviation, same as the exact engine's
+        # fallback in pattern_tables._seed_order)
+        above = np.flatnonzero(z >= np.float32(zthr))
+        order = above[np.argsort(-z[above], kind="stable")]
+    native = select_patterns_walk_native(
+        order, z, counts, W, float(zthr), count_thr, single,
+        filter_neighbors)
+    if native is not None:
+        return [int(p) for p in native]
+
+    seen = np.zeros(4 ** W, dtype=bool)
+    selected: List[int] = []
+    z_thr = np.float32(zthr)
+    for pid in order:
+        pid = int(pid)
+        if z[pid] < z_thr:
+            break
+        if counts[pid] < count_thr:
+            continue
+        if single:
+            ok = not seen[pid]
+        else:
+            ok = not seen[pid] and not seen[base_revcomp_id(pid, W)]
+        if not ok:
+            continue
+        selected.append(pid)
+        seen[pid] = True
+        if filter_neighbors:
+            for p in range(W):
+                c = (pid >> (2 * p)) & 3
+                masked = pid - (c << (2 * p))
+                for letter in range(4):
+                    seen[masked + (letter << (2 * p))] = True
+    return selected
+
+
+def _digits_to_iupac_id(digits) -> int:
+    out = 0
+    for p, d in enumerate(digits):
+        out += int(d) * 11 ** p
+    return out
+
+
+def _motif_from_aggregates(digits, W: int, counts: int, expected, bgp) -> Motif:
+    m = Motif(_digits_to_iupac_id(digits), W)
+    m.set_aggregates(int(counts), F32(expected), F32(bgp), LOG_BONFERRONI)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+def process_tpu(peng, params) -> List[Motif]:
+    """Device-resident counterpart of Peng.process (src/peng.cpp:322-435).
+    Raises EngineFallback when reference semantics cannot be guaranteed."""
+    from .pattern_tables import OptimizationScore, Strand  # noqa: PLC0415
+
+    W = params.max_pattern_length
+    both = peng.strand == Strand.BOTH_STRANDS
+    codes_np = np.ascontiguousarray(peng.sequence_set.padded(), dtype=np.uint8)
+    if codes_np.shape[0] == 0 or codes_np.shape[1] < W or params.mesh:
+        # degenerate inputs and explicit meshes take the exact engine
+        raise EngineFallback("degenerate input or mesh run")
+
+    out = peng.out
+    peng._status(f"Processing kmers of length {W}", leading_newline=False)
+    peng._status("Finding overrepresented kmers (base patterns)",
+                 leading_newline=False)
+
+    current_k = min(W - 1, peng.k)
+    current_max_k = min(W - 1, peng.max_k)
+    v = tuple(jnp.asarray(np.asarray(vk, dtype=np.float32))
+              for vk in peng.bg_model.v[: current_max_k + 1])
+
+    # -- phase 1: count (device, table resident) + byte-exact host
+    # selection (the z-score seed sort must reproduce libstdc++ tie
+    # placement, reference: src/base_pattern.cpp:443-458; that needs a
+    # host copy, so the count dispatch ships a canonical-compacted u16
+    # slice alongside the resident table) --------------------------------
+    with peng.timer.phase("count"):
+        if params.load_checkpoint:
+            from .checkpoint import load_checkpoint  # noqa: PLC0415
+
+            loaded = load_checkpoint(
+                params.load_checkpoint, W, peng.strand.name)
+            if loaded is None:
+                raise EngineFallback("no usable checkpoint")
+            counts_host, ltot, _bg = loaded
+            counts_host = np.asarray(counts_host, dtype=np.int32)
+            ltot = int(ltot)
+            counts_dev = jnp.asarray(counts_host)
+            ltot_dev = jnp.int32(ltot)
+            fix_ids = np.zeros(64, dtype=np.int32)
+            fix_dv = np.zeros(64, dtype=np.int32)
+        else:
+            buf = jnp.asarray(pack_codes(codes_np))
+            counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
+                count_device_full(buf, codes_np.shape[1], W, both))
+            vals, max_c, ltot, susp_np = jax.device_get(
+                (vals_u16, max_c, ltot_dev, susp_dev))
+            ltot = int(ltot)
+            if int(max_c) > np.iinfo(np.uint16).max:
+                vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
+            counts_host = _mirror_host(vals, W, both)
+            fix_ids, fix_dv = fixup_delta_pairs(codes_np, susp_np, W, both)
+            np.add.at(counts_host, fix_ids, fix_dv)
+
+        if ltot >= (1 << 24):
+            # f32 aggregation sums would lose integer exactness
+            raise EngineFallback("ltot >= 2**24")
+
+        # async: device builds its resident stat tables while the host
+        # sorts and walks the seed selection below
+        st = stats_program(
+            counts_dev, v, ltot_dev, jnp.asarray(fix_ids),
+            jnp.asarray(fix_dv), W, current_k, current_max_k, both)
+
+        bgp_host = _host_bg_flat(peng.bg_model.v, W, current_k, both)
+        expected_host, z_host = _host_base_stats(counts_host, bgp_host, ltot)
+        selected = _select_seeds_host(
+            z_host, counts_host, W, params.zscore_threshold,
+            params.count_threshold, peng.strand == Strand.PLUS_STRAND,
+            params.filter_neighbors)
+
+    if params.save_checkpoint:
+        from .checkpoint import save_checkpoint  # noqa: PLC0415
+
+        save_checkpoint(
+            params.save_checkpoint, W, peng.strand.name,
+            counts_host, ltot, peng.bg_model)
+
+    if not selected:
+        print("No overrepresented seed patterns found. Stopping.", file=out)
+
+    # seed table (reference: src/base_pattern.cpp:517-532), host values —
+    # byte-identical to the exact engine
+    print(f"{'pattern':>15}\t{'observed':>15}\t{'enrichment':>15}\t"
+          f"{'zscore':>15}\n", file=out)
+    for pid in selected:
+        obs = int(counts_host[pid])
+        enr = obs / expected_host[pid]
+        print(f"{base_id_to_string(pid, W):>15}\t{obs:>15}\t"
+              f"{enr:>15.2f}\t{z_host[pid]:>15.2f}", file=out)
+
+    peng._status("Optimizing base patterns")
+    print(file=out)
+    if len(selected) > params.max_optimized_patterns:
+        selected = selected[: params.max_optimized_patterns]
+
+    # -- phase 2: the climb, one dispatch --------------------------------
+    with peng.timer.phase("optimize"):
+        res: ClimbResult = run_climb(
+            st["counts"], st["expected"], st["bgp"], st["logp"],
+            selected, W, both, params.opt_score_type.value,
+            peng.n_sequences,
+            int(peng.n_sequences * params.enrich_pseudocount_factor),
+            max_seeds=max(len(selected), 1))
+        if res.overflow:
+            raise EngineFallback("climb trace/seen capacity exceeded")
+
+    candidates = _replay_climb(peng, params, res, selected, W)
+
+    print(file=out)
+    peng._status("Filtering degenerated IUPAC patterns")
+    candidates = peng._filter_iupac_patterns(
+        W, params.minimum_processed_motifs, candidates)
+    for motif in candidates:
+        print(f"selected iupac pattern: {motif.iupac_string()}", file=out)
+
+    # -- phase 3: PWMs ----------------------------------------------------
+    peng._status("Calculating PWMs")
+    with peng.timer.phase("pwm"):
+        _calculate_pwms_tpu(peng, params, candidates, st["counts"], W, both)
+
+    # -- phase 4: EM + merging --------------------------------------------
+    peng._status("Optimizing expectation-maximization / merging patterns")
+    results: List[Motif] = []
+    background = peng.max_k
+    table_order = min(background, W - 1)
+    print(f"\nbackground order: {background}", file=out)
+    with peng.timer.phase("em+merge"):
+        if params.use_em and candidates:
+            pwms_np = np.stack([m.pwm for m in candidates]).astype(np.float32)
+            assert table_order == current_max_k
+            bg_em = st["bg_max"]
+            final_pwms, _ = em_ops.em_optimize_flat(
+                jnp.asarray(pwms_np), st["counts"].astype(jnp.float32),
+                bg_em, params.em_saturation_factor,
+                params.em_min_threshold, params.em_max_iterations, W)
+            final_pwms = np.asarray(final_pwms)
+            optimized = []
+            for i, motif in enumerate(candidates):
+                new_motif = motif.clone_with_pwm(final_pwms[i])
+                optimized.append(new_motif)
+                from .utils import numerics  # noqa: PLC0415
+
+                info = numerics.pwm_info_content(new_motif.pwm) / W
+                print(f"em: {motif.iupac_string()} -> "
+                      f"{new_motif.pattern_string(peng.iupac_profile)}   "
+                      f"[ avg. info: {info:.2f} ]", file=out)
+        else:
+            optimized = candidates
+
+        if params.use_merging:
+            if W >= MIN_MERGE_OVERLAP:
+                peng._merge_patterns(
+                    W, params.bit_factor_merge_threshold, optimized,
+                    params.max_merged_length)
+            else:
+                import sys  # noqa: PLC0415
+
+                print(f"Warning: Specified pattern length ({W}) is too "
+                      "low for merging!", file=sys.stderr)
+
+    for motif in optimized:
+        motif.opt_bg_order = background
+        results.append(motif)
+    return results
+
+
+def _replay_climb(peng, params, res: ClimbResult, selected, W: int
+                  ) -> List[Motif]:
+    """Reconstruct the reference's climb stdout from the device trace and
+    build the surviving motifs (reference: src/peng.cpp:437-541)."""
+    out = peng.out
+    acc_by_seed: dict = {}
+    for t in range(res.n_acc):
+        acc_by_seed.setdefault(int(res.acc_seed[t]), []).append(t)
+
+    best_motifs: List[Motif] = []
+    for s, base_pattern in enumerate(selected):
+        init = _motif_from_aggregates(
+            np.asarray([(base_pattern >> (2 * p)) & 3 for p in range(W)]),
+            W, res.init_counts[s], res.init_expected[s], res.init_bgp[s])
+        peng._print_climb_row(init, res.init_score[s])
+        for t in acc_by_seed.get(s, ()):
+            m = _motif_from_aggregates(
+                res.acc_digits[t], W, res.acc_counts[t],
+                res.acc_expected[t], 0.0)
+            peng._print_climb_row(m, res.acc_score[t])
+        if res.emitted[s]:
+            best = _motif_from_aggregates(
+                res.best_digits[s], W, res.best_counts[s],
+                res.best_expected[s], res.best_bgp[s])
+            best_motifs.append(best)
+            print(f"optimization: {base_id_to_string(base_pattern, W)} -> "
+                  f"{best.iupac_string()}\n", file=out)
+        else:
+            print(f"optimization: {base_id_to_string(base_pattern, W)} "
+                  f"removed\t\n", file=out)
+
+    peng._print_motif_table(best_motifs)
+    return best_motifs
+
+
+def _calculate_pwms_tpu(peng, params, motifs: List[Motif], counts_dev,
+                        W: int, both: bool):
+    """Adv/default PWM construction from the device letter-substitution
+    sums (reference: src/peng.cpp:372-393, src/iupac_pattern.cpp:475-536)."""
+    out = peng.out
+    bg0 = peng.bg_model.v[0]
+    if params.adv_pwm and motifs:
+        from .alphabets import iupac_id_to_digits  # noqa: PLC0415
+
+        digit_mat = np.stack([
+            iupac_id_to_digits(m.pattern_id, W) for m in motifs
+        ]).astype(np.int32)
+        sub_counts = np.asarray(adv_pwm_counts_program(
+            jnp.asarray(digit_mat), counts_dev, W, both))
+        sub_counts = np.rint(sub_counts).astype(np.int64)
+        for mi, motif in enumerate(motifs):
+            pwm = np.zeros((W, 4), dtype=F32)
+            for p in range(W):
+                i_total = np.zeros(4, dtype=np.int64)
+                for letter in range(4):
+                    i_total[letter] = int(
+                        params.pseudo_counts * F32(bg0[letter])
+                    ) + int(sub_counts[mi, p, letter])
+                n_total = int(i_total.sum())
+                pwm[p] = (i_total.astype(np.float64) / n_total).astype(F32)
+            motif.pwm = pwm
+            motif.calculate_comp_pwm()
+            peng._print_pwm_row("adv pwm: ", motif)
+    elif params.adv_pwm:
+        pass
+    else:
+        for motif in motifs:
+            row = np.array(
+                [F32(params.pseudo_counts * F32(bg0[a])) for a in range(4)],
+                dtype=F32)
+            denom = F32(1.0 * motif.n_sites + params.pseudo_counts)
+            pwm = np.tile((row / denom).astype(F32), (W, 1))
+            motif.pwm = pwm
+            motif.calculate_comp_pwm()
+            peng._print_pwm_row("def pwm: ", motif)

@@ -236,6 +236,69 @@ def _count_device_packed_i32(buf, seq_len: int, length: int,
     return counts
 
 
+@functools.partial(
+    jax.jit, static_argnames=("seq_len", "length", "both_strands"))
+def count_device_full(buf, seq_len: int, length: int, both_strands: bool):
+    """Device counting for the TPU engine: the full (mirrored) count
+    table stays resident on device; a canonical-compacted uint16 copy,
+    ``ltot`` and the suspicion certificate leave — the compact copy
+    feeds the host's byte-exact seed selection (the z-score sort must
+    reproduce libstdc++ tie placement, which requires the host table;
+    reference scan: src/base_pattern.cpp:331-441, sort 443-458).
+
+    Returns (counts [4**W] int32 mirrored+resident, compact uint16,
+    max_count, ltot int32, suspicious [B]).
+    """
+    codes = _unpack_codes(buf, seq_len)
+    fwd, rc, valid = encoding.window_ids(codes, length)
+    valid = valid & ~scan_skip_mask(codes, valid, length)
+    cids = jnp.where(valid, jnp.minimum(fwd, rc), -1) if both_strands else (
+        jnp.where(valid, fwd, -1))
+    counted, suspicious = naive_dedup(cids, length)
+    flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+    flat_inc = counted.reshape(-1).astype(jnp.int32)
+    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    if both_strands:
+        canon = encoding.canonical_mask_flat(length)
+        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        vals = counts[canon_idx]
+        rc_ids = encoding.rc_ids_flat(length)
+        counts = jnp.where(canon, counts, counts[rc_ids])
+    else:
+        vals = counts
+    ltot = valid.astype(jnp.int32).sum()
+    return counts, vals.astype(jnp.uint16), vals.max(), ltot, suspicious
+
+
+def fixup_delta_pairs(codes_np: np.ndarray, susp_np: np.ndarray, length: int,
+                      both_strands: bool, pad_to: int = 64):
+    """Sparse (ids, deltas) correction for suspicious rows, with mirror
+    ids included, padded for a static-shape device scatter-add.
+    Returns (ids [>=pad_to] int32, deltas [same] int32)."""
+    delta: dict = {}
+    rows = codes_np[np.flatnonzero(susp_np)]
+    for row in rows:
+        for cid, dv in host_row_recount(row, length, both_strands).items():
+            delta[cid] = delta.get(cid, 0) + dv
+    ids, dvs = [], []
+    for cid, dv in delta.items():
+        if dv == 0:
+            continue
+        ids.append(cid)
+        dvs.append(dv)
+        if both_strands:
+            rcid = _np_revcomp_id(cid, length)
+            if rcid != cid:
+                ids.append(rcid)
+                dvs.append(dv)
+    n = max(pad_to, 1 << (len(ids) - 1).bit_length()) if ids else pad_to
+    out_ids = np.zeros(n, dtype=np.int32)
+    out_dv = np.zeros(n, dtype=np.int32)
+    out_ids[: len(ids)] = ids
+    out_dv[: len(dvs)] = dvs
+    return out_ids, out_dv
+
+
 class CountJob:
     """Asynchronously dispatched device counting.
 

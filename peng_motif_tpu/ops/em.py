@@ -48,6 +48,64 @@ def _axis_sums(r: jax.Array, length: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("length", "max_iterations"))
+def em_optimize_flat(
+    pwms: jax.Array,
+    counts_flat: jax.Array,
+    bg_flat: jax.Array,
+    saturation_factor,
+    min_threshold,
+    max_iterations: int,
+    length: int,
+):
+    """Flat-layout EM for the TPU engine (same iteration semantics as
+    :func:`em_optimize`; reference: src/peng.cpp:48-178).
+
+    Works on [4**W] flat tables — rank-W tensors tile on TPU as (8, 128)
+    over the trailing dims, a 32x physical blow-up the flat layout
+    avoids.  The per-position responsibility sums are the all-ones-mask
+    marginals of the responsibility table (ops/flat_tables).
+
+    Args:
+      pwms: [M, W, 4] f32; counts_flat/bg_flat: [4**W] f32 (mirrored
+      counts; strand-aggregated bg of the optimization order).
+    Returns (final pwms [M, W, 4], iterations [M]).
+    """
+    from . import flat_tables as ft  # noqa: PLC0415
+
+    s = jnp.float32(saturation_factor)
+    thr = jnp.float32(min_threshold)
+    counts_s = counts_flat.astype(jnp.float32) * s
+    ones = jnp.ones((length, 4), dtype=jnp.float32)
+    n = 4 ** length
+
+    def one_motif(pwm0):
+        def cond(carry):
+            _, change, it = carry
+            return (change > thr) & (it < max_iterations)
+
+        def body(carry):
+            old_pwm, _, it = carry
+            # prob[id] = prod_p pwm[p][digit_p] via broadcasted DP
+            prob = jnp.ones((n,), dtype=jnp.float32)
+            for pos in range(length):
+                lo = 4 ** pos
+                prob = (prob.reshape(n // (4 * lo), 4, lo)
+                        * old_pwm[pos].reshape(1, 4, 1)).reshape(-1)
+            # r = count*s / (1 + s/odds), odds = prob/bg
+            r = counts_s / (1.0 + s * bg_flat / prob)
+            new_pwm = ft.all_marginals(r, ones, length)  # [W, 4]
+            new_pwm = new_pwm / jnp.sum(new_pwm, axis=1, keepdims=True)
+            change = jnp.sum(jnp.abs(new_pwm - old_pwm))
+            return new_pwm, change, it + 1
+
+        init = (pwm0, jnp.float32(length), jnp.int32(0))
+        final_pwm, _, iters = jax.lax.while_loop(cond, body, init)
+        return final_pwm, iters
+
+    return jax.vmap(one_motif)(pwms.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("length", "max_iterations"))
 def em_optimize(
     pwms: jax.Array,
     counts_t: jax.Array,

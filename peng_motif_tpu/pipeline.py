@@ -82,6 +82,10 @@ class PengParameters:
     save_checkpoint: Optional[str] = None  # persist count table + bg model
     load_checkpoint: Optional[str] = None  # resume from a persisted table
     threads: int = 0                       # native-kernel threads (0 = auto)
+    # engine selection: "tpu" = device-resident fast path (engine_tpu),
+    # "exact" = byte-parity host/native path, "auto" = tpu when an
+    # accelerator backend is attached, exact on CPU-only hosts
+    engine: str = "auto"
 
 
 class Peng:
@@ -113,6 +117,32 @@ class Peng:
 
     # ------------------------------------------------------------------
     def process(self, params: PengParameters) -> List[Motif]:
+        engine = params.engine
+        if engine == "auto":
+            import jax  # noqa: PLC0415
+
+            engine = "tpu" if jax.default_backend() != "cpu" else "exact"
+        if engine == "tpu":
+            from .engine_tpu import EngineFallback, process_tpu  # noqa: PLC0415
+
+            # buffer stdout so a mid-run fallback can restart cleanly
+            import io  # noqa: PLC0415
+
+            real_out, buf = self.out, io.StringIO()
+            self.out = buf
+            try:
+                result = process_tpu(self, params)
+                real_out.write(buf.getvalue())
+                return result
+            except EngineFallback as e:
+                self.log.info(f"TPU engine fallback: {e}; "
+                              "running exact engine")
+            finally:
+                self.out = real_out
+        return self._process_exact(params)
+
+    def _process_exact(self, params: PengParameters) -> List[Motif]:
+        """The byte-exact host/native engine (--engine exact)."""
         W = params.max_pattern_length
         self._status(f"Processing kmers of length {W}", leading_newline=False)
         self._status("Finding overrepresented kmers (base patterns)",
