@@ -27,6 +27,13 @@ def _enable_compilation_cache():
         if _plat:
             jax.config.update("jax_platforms", _plat)
 
+        # the device score math mirrors the reference's C++ promotion
+        # points (float storage, double transcendentals — see
+        # utils/numerics.py); the double side needs x64 enabled.  All
+        # device code in this package pins dtypes explicitly, so the
+        # wider defaults do not change any table layouts.
+        jax.config.update("jax_enable_x64", True)
+
         cache_dir = _os.environ.get(
             "PENG_JAX_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "peng_motif_tpu"),

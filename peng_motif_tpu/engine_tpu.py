@@ -9,7 +9,8 @@ of fused device programs —
   2. ``stats_topk_program``      sparse dedup fix-up, background DP for
                                  all orders, expected/z/log-pvalues,
                                  top-K seed candidates out
-  3. ``climb_program``           the whole IUPAC hill climb (ops/climb)
+  3. ``walks_program``           all hill-climb walks in lockstep
+                                 (ops/climb; host replays the seen set)
   4. ``adv_pwm_counts_program``  all letter-substitution sums at once
   5. ``em_optimize_flat``        batched EM over all motifs
 
@@ -45,7 +46,7 @@ from .alphabets import (
 from .models.motif import MIN_MERGE_OVERLAP, Motif
 from .ops import em as em_ops
 from .ops import flat_tables as ft
-from .ops.climb import ClimbResult, run_climb
+from .ops.climb import WalkTrace, replay_walks, run_walks
 from .ops.counting import count_device_full, fixup_delta_pairs, pack_codes
 
 F32 = np.float32
@@ -75,15 +76,13 @@ def stats_program(counts, v, ltot, fix_ids, fix_dv,
     if both:
         bgp = ft.aggregate_double_strand_flat(bgp, length)
     expected = bgp * ltot.astype(jnp.float32)
-    logp = ft.base_log_pvalues_flat(counts, expected)
     if order_max != order_k:
         bg_max = ft.bg_prob_flat(v, length, order_max)
         if both:
             bg_max = ft.aggregate_double_strand_flat(bg_max, length)
     else:
         bg_max = bgp
-    return dict(counts=counts, bgp=bgp, expected=expected, logp=logp,
-                bg_max=bg_max)
+    return dict(counts=counts, bgp=bgp, expected=expected, bg_max=bg_max)
 
 
 @functools.partial(jax.jit, static_argnames=("length", "both"))
@@ -357,18 +356,20 @@ def process_tpu(peng, params) -> List[Motif]:
     if len(selected) > params.max_optimized_patterns:
         selected = selected[: params.max_optimized_patterns]
 
-    # -- phase 2: the climb, one dispatch --------------------------------
+    # -- phase 2: the climb — one device dispatch runs all walks in
+    # lockstep; the host replays the sequential seen-set bookkeeping
+    # (reference: src/peng.cpp:437-541; see ops/climb.py) ---------------
     with peng.timer.phase("optimize"):
-        res: ClimbResult = run_climb(
-            st["counts"], st["expected"], st["bgp"], st["logp"],
+        trace: WalkTrace = run_walks(
+            st["counts"], st["expected"], st["bgp"],
             selected, W, both, params.opt_score_type.value,
             peng.n_sequences,
             int(peng.n_sequences * params.enrich_pseudocount_factor),
             max_seeds=max(len(selected), 1))
-        if res.overflow:
-            raise EngineFallback("climb trace/seen capacity exceeded")
+        if trace.overflow:
+            raise EngineFallback("climb step/trace capacity exceeded")
 
-    candidates = _replay_climb(peng, params, res, selected, W)
+    candidates = _replay_climb(peng, params, trace, selected, W)
 
     print(file=out)
     peng._status("Filtering degenerated IUPAC patterns")
@@ -428,30 +429,23 @@ def process_tpu(peng, params) -> List[Motif]:
     return results
 
 
-def _replay_climb(peng, params, res: ClimbResult, selected, W: int
+def _replay_climb(peng, params, trace: WalkTrace, selected, W: int
                   ) -> List[Motif]:
-    """Reconstruct the reference's climb stdout from the device trace and
-    build the surviving motifs (reference: src/peng.cpp:437-541)."""
+    """Host seen-set replay over the device trajectories; reconstructs
+    the reference's climb stdout and the surviving motifs
+    (reference: src/peng.cpp:437-541)."""
     out = peng.out
-    acc_by_seed: dict = {}
-    for t in range(res.n_acc):
-        acc_by_seed.setdefault(int(res.acc_seed[t]), []).append(t)
+    outcomes = replay_walks(trace, selected, W)
 
     best_motifs: List[Motif] = []
-    for s, base_pattern in enumerate(selected):
-        init = _motif_from_aggregates(
-            np.asarray([(base_pattern >> (2 * p)) & 3 for p in range(W)]),
-            W, res.init_counts[s], res.init_expected[s], res.init_bgp[s])
-        peng._print_climb_row(init, res.init_score[s])
-        for t in acc_by_seed.get(s, ()):
-            m = _motif_from_aggregates(
-                res.acc_digits[t], W, res.acc_counts[t],
-                res.acc_expected[t], 0.0)
-            peng._print_climb_row(m, res.acc_score[t])
-        if res.emitted[s]:
+    for base_pattern, oc in zip(selected, outcomes):
+        for digits, cnt, exp, score in oc.rows:
+            m = _motif_from_aggregates(digits, W, cnt, exp, 0.0)
+            peng._print_climb_row(m, F32(score))
+        if oc.emitted:
             best = _motif_from_aggregates(
-                res.best_digits[s], W, res.best_counts[s],
-                res.best_expected[s], res.best_bgp[s])
+                oc.final_digits, W, oc.final_counts,
+                oc.final_expected, oc.final_bgp)
             best_motifs.append(best)
             print(f"optimization: {base_id_to_string(base_pattern, W)} -> "
                   f"{best.iupac_string()}\n", file=out)

@@ -1,43 +1,44 @@
-"""The IUPAC hill climb as a single device program.
+"""The IUPAC hill climb: lockstep device walks + host seen-set replay.
 
 Reference control flow (src/peng.cpp:437-541): for each selected seed,
 repeatedly evaluate every single-position IUPAC mutation ("similar"
 letters, src/iupac_alphabet.cpp:47-136) of the current best pattern, in
 position-major order, accepting every strict improvement of the
-optimization score; a global ``seen`` set kills duplicate walks.  The
-reference evaluates one mutant at a time on host; the exact engine
-batches each step's mutants into one native call.  Here the **entire
-phase** — all seeds, all steps, all mutants, the seen-set bookkeeping —
-is one jitted program: ``lax.scan`` over seeds, ``lax.while_loop`` per
-walk, and a marginal-table formulation that makes one step's W x 10
-mutant aggregations cost ~3 passes over the 4**W table instead of
-~W x 10 (see ops/flat_tables.all_marginals).
+optimization score; a global ``seen`` set kills a walk when its step's
+best pattern was evaluated before, and decides final emission.
 
-Key device-side structures:
+The key structural fact this module exploits: **a walk's trajectory is
+independent of the seen set**.  The seen set never changes which mutant
+a step picks (that is a pure running-minimum over the step's candidate
+scores, src/peng.cpp:485-497); it only decides where a walk *stops*
+(src/peng.cpp:504-506) and whether its endpoint is *emitted*
+(src/peng.cpp:511-524).  So:
 
-* mutant aggregation: a mutant differs from its mother at one position
-  p, so its aggregate  S(m) + S(m_rc) - S(m & m_rc)
-  (double-strand dedup, src/iupac_pattern.cpp:410-473) reduces to dot
-  products with the mother's single-position marginals (terms 1, 2) and
-  (p, W-1-p) pair marginals (term 3; the rc-mask of a single-position
-  mutant differs at the *mirror* position).
-* the ``seen`` set: patterns are identified by a split base-11 key
-  (lo = digits below W//2, hi = the rest — both < 2**31, exact in
-  int32); membership is a vectorized compare against a bounded buffer,
-  insertion a dynamic-slice append.  Overflow sets a flag the caller
-  must check (it then falls back to the exact engine).
-* the print trace: accepted mutants are compacted into bounded buffers
-  (seed index, pattern key, counts, expected, score) so the host can
-  replay the reference's stdout rows without a per-step round trip.
+* the device runs all S walks **in parallel lockstep** — one fused
+  program, ``lax.while_loop`` over steps, each step evaluating all
+  S x W x 10 single-position mutants through the marginal-table
+  formulation (ops/flat_tables) — sequential depth = the longest walk
+  (~15 steps) instead of the sum of all walk lengths (~800);
+* the host **replays** the sequential seen-set bookkeeping over the
+  returned trajectories in seed order — pure integer set arithmetic,
+  microseconds — truncating each walk at its kill step and reproducing
+  the reference's decisions exactly.
 
-Returned aggregates are f32; count sums are exact while ltot < 2**24
-(the caller asserts this and falls back otherwise).
+Score arithmetic: candidate scores are computed with the reference's
+exact float32-storage / float64-transcendental promotion points
+(ops/flat_tables score functions mirroring utils/numerics.py) and
+compared as float32, exactly as the reference compares its ``float``
+scores.  The only remaining deviation from the reference binary is the
+tree (vs sequential) order of the f32 aggregation sums and backend-libm
+last-ulps — documented tolerance of the TPU engine.  Count sums are
+exact while ltot < 2**24 (the caller asserts this and falls back
+otherwise).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,36 +56,49 @@ SIM_TABLE = np.full((len(IUPAC_SIMILAR), MAXSIM), -1, dtype=np.int32)
 for _c, _sims in enumerate(IUPAC_SIMILAR):
     SIM_TABLE[_c, : len(_sims)] = _sims
 
-SEEN_CAP = 65536   # candidate-slot capacity of the seen set
-TRACE_CAP = 2048   # accepted-row trace capacity
+MAX_STEPS = 48     # longest supported walk (score strictly decreases
+                   # each step; real walks take ~15 steps at W=10)
+ACC_CAP = 12       # per-step accepted-row trace slots (running-min
+                   # improvements within one step's ~W*10 candidates)
 
 
-class ClimbResult(NamedTuple):
-    """Host-side view of one climb run (all numpy)."""
+class WalkTrace(NamedTuple):
+    """Host-side (numpy) view of the lockstep walk run.  T = number of
+    device steps executed, S = number of seed slots."""
 
-    best_digits: np.ndarray    # [S, W] int32 IUPAC digits of final patterns
-    best_counts: np.ndarray    # [S] int64
-    best_expected: np.ndarray  # [S] f32
-    best_bgp: np.ndarray       # [S] f32
-    emitted: np.ndarray        # [S] bool
-    init_counts: np.ndarray    # [S] int64 (aggregate of the seed pattern)
-    init_expected: np.ndarray  # [S] f32
-    init_bgp: np.ndarray       # [S] f32
-    init_score: np.ndarray     # [S] f32
-    acc_seed: np.ndarray       # [T] int32 seed index per accepted row
-    acc_digits: np.ndarray     # [T, W] int32 accepted pattern digits
-    acc_counts: np.ndarray     # [T] int64
-    acc_expected: np.ndarray   # [T] f32
-    acc_score: np.ndarray      # [T] f32
-    n_acc: int
+    improved: np.ndarray         # [T, S] bool — step strictly improved
+    chosen_idx: np.ndarray       # [T, S] int32 candidate index (p*MAXSIM+j)
+    chosen_counts: np.ndarray    # [T, S] f32 (exact integers)
+    chosen_expected: np.ndarray  # [T, S] f32
+    chosen_bgp: np.ndarray       # [T, S] f32
+    chosen_score: np.ndarray     # [T, S] f32
+    acc_idx: np.ndarray          # [T, S, R] int32
+    acc_counts: np.ndarray       # [T, S, R] f32
+    acc_expected: np.ndarray     # [T, S, R] f32
+    acc_score: np.ndarray        # [T, S, R] f32
+    acc_n: np.ndarray            # [T, S] int32
+    init_counts: np.ndarray      # [S] f32 (seed IUPAC aggregate)
+    init_expected: np.ndarray    # [S] f32
+    init_bgp: np.ndarray         # [S] f32
+    init_score: np.ndarray       # [S] f32 (from the base tables)
+    n_steps: int
     overflow: bool
 
 
-def _split_key(digits: jax.Array, pow11_half: jax.Array, half: int):
-    """(lo, hi) int32 split base-11 key of a digit vector [..., W]."""
-    lo = jnp.sum(digits[..., :half] * pow11_half[:half], axis=-1)
-    hi = jnp.sum(digits[..., half:] * pow11_half[half:], axis=-1)
-    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+class SeedOutcome(NamedTuple):
+    """One seed's replayed walk: print rows + final pattern."""
+
+    rows: List[Tuple[np.ndarray, int, float, float]]  # (digits, n, exp, score)
+    emitted: bool
+    final_digits: np.ndarray
+    final_counts: int
+    final_expected: np.float32
+    final_bgp: np.float32
+
+
+# ---------------------------------------------------------------------------
+# device: lockstep walks
+# ---------------------------------------------------------------------------
 
 
 def _aggregate_full(stack: jax.Array, masks: jax.Array, length: int,
@@ -105,6 +119,13 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
 
     stack: [G, 4**W]; m: [W, 4] mother masks; cand_letters: [C] IUPAC
     codes; pos_idx: [C] mutated position.  Returns [G, C].
+
+    A mutant differs from its mother at one position p, so its
+    double-strand-deduped aggregate S(m) + S(m_rc) - S(m & m_rc)
+    (reference: src/iupac_pattern.cpp:410-441) reduces to dot products
+    with the mother's single-position marginals (terms 1, 2) and
+    (p, W-1-p) pair marginals (term 3: the rc-mask of a single-position
+    mutant differs at the *mirror* position).
     """
     masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=F32)
     u = masks_tbl[cand_letters]                      # [C, 4]
@@ -122,7 +143,7 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
     pm = ft.pair_marginals(stack, m * mrc, length)   # [G, W//2, 4, 4]
     pair_idx = jnp.minimum(pos_idx, mirror)
     is_low = pos_idx < (length // 2)
-    m_mirror = m[mirror]                             # [C, 4] mother mask at mirror
+    m_mirror = m[mirror]                             # [C, 4] mother at mirror
     mask_p = u * m_mirror[:, ::-1]                   # candidate-position mask
     mask_mir = m_mirror * uf                         # mirror-position mask
     pmg = pm[:, pair_idx]                            # [G, C, 4, 4]
@@ -134,12 +155,11 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("length", "both", "score_type", "seen_cap", "trace_cap"))
-def climb_program(
+    static_argnames=("length", "both", "score_type", "max_steps", "acc_cap"))
+def walks_program(
     counts_flat: jax.Array,     # [4**W] int32, mirrored counts
     expected_flat: jax.Array,   # [4**W] f32
     bgp_flat: jax.Array,        # [4**W] f32 (strand-aggregated, order k)
-    logp_flat: jax.Array,       # [4**W] f32 base log p-values (seed scores)
     seed_ids: jax.Array,        # [S] int32 base-pattern ids
     seed_valid: jax.Array,      # [S] bool
     n_sequences: jax.Array,     # f32 scalar
@@ -147,13 +167,13 @@ def climb_program(
     length: int,
     both: bool,
     score_type: int,
-    seen_cap: int = SEEN_CAP,
-    trace_cap: int = TRACE_CAP,
+    max_steps: int = MAX_STEPS,
+    acc_cap: int = ACC_CAP,
 ):
     W = length
-    half = W // 2
     C = W * MAXSIM
     S = seed_ids.shape[0]
+    R = acc_cap
 
     counts_f = counts_flat.astype(F32)
     if both:
@@ -168,22 +188,19 @@ def climb_program(
 
     sim_tbl = jnp.asarray(SIM_TABLE)
     masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=F32)
-    lb = jnp.asarray(LOG_BONFERRONI)
-    pow11_half = jnp.asarray(
-        [11 ** (p if p < half else p - half) for p in range(W)],
-        dtype=jnp.int32)
+    lb = jnp.asarray(np.asarray(LOG_BONFERRONI, dtype=np.float32))
     pos_idx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), MAXSIM)  # [C]
 
     def bonferroni_fold(digit_mat):
-        """Sequential f32 fold over positions (reference adds the letter
-        penalties one by one, src/iupac_pattern.cpp:465-468)."""
+        """Sequential f32 fold over positions (the reference adds the
+        letter penalties one by one, src/iupac_pattern.cpp:465-468)."""
         b = jnp.zeros(digit_mat.shape[:-1], dtype=F32)
         for p in range(W):
             b = (b + lb[digit_mat[..., p]]).astype(F32)
         return b
 
-    def eval_step(digits, lo, hi, best_score, seen_lo, seen_hi):
-        """One walk step: evaluate all mutants of `digits`."""
+    def eval_walk(digits):
+        """All C mutants of one walk's mother: (scores_f32, cnt, exp, bgp)."""
         m = masks_tbl[digits]                           # [W, 4]
         sims = sim_tbl[digits]                          # [W, MAXSIM]
         cand_letters = sims.reshape(-1)                 # [C] reference order
@@ -203,171 +220,130 @@ def climb_program(
         scores = ft.optimization_scores(
             score_type, c_c, e_c, n_sequences, pseudo_expected, bsum)
         scores = jnp.where(valid & ~jnp.isnan(scores), scores, jnp.inf)
+        return scores.astype(F32), c_c, e_c, b_c, letters
 
-        # accept set: every strict improvement over the running best
-        # (reference: src/peng.cpp:470-501); final best = first argmin
-        incl = jax.lax.associative_scan(jnp.minimum, scores)
-        prev_min = jnp.minimum(
-            best_score, jnp.concatenate([jnp.full((1,), jnp.inf), incl[:-1]]))
-        accepted = scores < prev_min
-        best_idx = jnp.argmin(scores)
-        step_min = scores[best_idx]
-        improved = step_min < best_score
-
-        # candidate split keys (int32-exact)
-        delta = (letters - digits[pos_idx]) * pow11_half[pos_idx]
-        c_lo = jnp.where(pos_idx < half, lo + delta, lo).astype(jnp.int32)
-        c_hi = jnp.where(pos_idx >= half, hi + delta, hi).astype(jnp.int32)
-
-        new_lo = jnp.where(improved, c_lo[best_idx], lo)
-        new_hi = jnp.where(improved, c_hi[best_idx], hi)
-        new_digits = jnp.where(
-            improved,
-            digits.at[pos_idx[best_idx]].set(letters[best_idx]),
-            digits)
-        in_seen = jnp.any((seen_lo == new_lo) & (seen_hi == new_hi))
-
-        return dict(
-            improved=improved, in_seen=in_seen,
-            new_digits=new_digits, new_lo=new_lo, new_hi=new_hi,
-            best_idx=best_idx, step_min=step_min,
-            c_lo=c_lo, c_hi=c_hi, valid=valid,
-            accepted=accepted, counts=c_c, expected=e_c, bgp=b_c,
-            scores=scores,
-        )
-
-    def seed_body(carry, seed):
-        (seen_lo, seen_hi, n_seen,
-         acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-         overflow) = carry
-        seed_id, s_valid, seed_idx = seed
-
-        digits0 = jnp.stack(
-            [(seed_id >> (2 * p)) & 3 for p in range(W)]).astype(jnp.int32)
-        lo0, hi0 = _split_key(digits0, pow11_half, half)
-
-        # seed score from the base tables (reference: src/peng.cpp:452-456)
-        base_c = counts_flat[seed_id]
-        base_e = expected_flat[seed_id]
-        base_lp = logp_flat[seed_id]
+    # ---- init: seed digits, base-table scores, seed IUPAC aggregates ----
+    digits0 = jnp.stack(
+        [(seed_ids >> (2 * p)) & 3 for p in range(W)], axis=-1
+    ).astype(jnp.int32)                                  # [S, W]
+    base_c = counts_flat[seed_ids]
+    base_e = expected_flat[seed_ids]
+    if score_type == 0:
+        init_score = ft.base_log_pvalues_ref(base_c, base_e)
+    else:
         init_score = ft.base_optimization_scores(
-            score_type, base_c[None].astype(F32), base_e[None],
-            base_lp[None], n_sequences, pseudo_expected)[0]
+            score_type, base_c.astype(F32), base_e, None,
+            n_sequences, pseudo_expected)
+    init_score = init_score.astype(F32)
+    init_agg = jax.vmap(
+        lambda d: _aggregate_full(stack, masks_tbl[d], W, both))(digits0)
+    # init_agg: [S, 3]
 
-        m0 = masks_tbl[digits0]
-        init_agg = _aggregate_full(stack, m0, W, both)   # [3]
+    zt_f = jnp.zeros((max_steps, S), dtype=F32)
+    zt_i = jnp.zeros((max_steps, S), dtype=jnp.int32)
+    zt_b = jnp.zeros((max_steps, S), dtype=jnp.bool_)
+    za_f = jnp.zeros((max_steps, S, R), dtype=F32)
+    za_i = jnp.zeros((max_steps, S, R), dtype=jnp.int32)
 
-        def cond(st):
-            return st[0]
+    def cond(st):
+        t, _, _, _, _, _, active = st[:7]
+        return (t < max_steps) & jnp.any(active)
 
-        def body(st):
-            (_, digits, lo, hi, bc, be, bb, bscore,
-             seen_lo, seen_hi, n_seen,
-             acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-             overflow) = st
-            ev = eval_step(digits, lo, hi, bscore, seen_lo, seen_hi)
+    def body(st):
+        (t, digits, best_score, bc, be, bb, active,
+         improved_buf, chosen_idx_buf, chosen_cnt_buf, chosen_exp_buf,
+         chosen_bgp_buf, chosen_sc_buf, acc_idx_buf, acc_cnt_buf,
+         acc_exp_buf, acc_sc_buf, acc_n_buf, overflow) = st
 
-            # trace accepted rows (compacted append, drop-on-overflow)
-            ranks = jnp.cumsum(ev["accepted"]) - 1
-            slot = jnp.where(ev["accepted"], n_acc + ranks, trace_cap)
-            cand_digits = jnp.broadcast_to(digits, (C, W)).at[
-                jnp.arange(C), pos_idx].set(
-                    jnp.where(ev["valid"], sim_tbl[digits].reshape(-1), 0))
-            acc_seed = acc_seed.at[slot].set(seed_idx, mode="drop")
-            acc_dig = acc_dig.at[slot].set(cand_digits, mode="drop")
-            acc_cnt = acc_cnt.at[slot].set(ev["counts"], mode="drop")
-            acc_exp = acc_exp.at[slot].set(ev["expected"], mode="drop")
-            acc_sc = acc_sc.at[slot].set(ev["scores"], mode="drop")
-            n_new = jnp.sum(ev["accepted"]).astype(jnp.int32)
-            overflow = overflow | (n_acc + n_new > trace_cap)
-            n_acc = jnp.minimum(n_acc + n_new, trace_cap)
+        scores, c_c, e_c, b_c, letters = jax.vmap(eval_walk)(digits)
+        # scores: [S, C]
 
-            # seen-set update: insert every evaluated candidate except
-            # the (possibly new) best (reference: src/peng.cpp:504-508)
-            keep = ev["valid"] & ~((ev["c_lo"] == ev["new_lo"])
-                                   & (ev["c_hi"] == ev["new_hi"]))
-            ins_lo = jnp.where(keep, ev["c_lo"], -1)
-            ins_hi = jnp.where(keep, ev["c_hi"], -1)
-            overflow = overflow | (n_seen + C > seen_cap)
-            start = jnp.minimum(n_seen, seen_cap - C)
-            seen_lo = jax.lax.dynamic_update_slice(seen_lo, ins_lo, (start,))
-            seen_hi = jax.lax.dynamic_update_slice(seen_hi, ins_hi, (start,))
-            n_seen = jnp.minimum(n_seen + C, seen_cap)
+        # running-min accept trace (reference: src/peng.cpp:485-497;
+        # strict < keeps the earliest min, same as jnp.argmin)
+        incl = jax.lax.associative_scan(jnp.minimum, scores, axis=1)
+        prev = jnp.minimum(
+            best_score[:, None],
+            jnp.concatenate(
+                [jnp.full((S, 1), jnp.inf, dtype=F32), incl[:, :-1]], axis=1))
+        accepted = (scores < prev) & active[:, None]
+        best_idx = jnp.argmin(scores, axis=1).astype(jnp.int32)
+        step_min = jnp.take_along_axis(
+            scores, best_idx[:, None], axis=1)[:, 0]
+        improved = (step_min < best_score) & active
 
-            cont = ev["improved"] & ~ev["in_seen"]
-            bi = ev["best_idx"]
-            bc = jnp.where(ev["improved"], ev["counts"][bi], bc)
-            be = jnp.where(ev["improved"], ev["expected"][bi], be)
-            bb = jnp.where(ev["improved"], ev["bgp"][bi], bb)
-            bscore = jnp.where(ev["improved"], ev["step_min"], bscore)
-            return (cont, ev["new_digits"], ev["new_lo"], ev["new_hi"],
-                    bc, be, bb, bscore, seen_lo, seen_hi, n_seen,
-                    acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-                    overflow)
+        # compact accepted rows into R slots per walk
+        ranks = jnp.cumsum(accepted, axis=1) - 1
+        slot = jnp.where(accepted, jnp.minimum(ranks, R), R)  # R = dropped
+        rows_s = jnp.arange(S, dtype=jnp.int32)[:, None]
+        cand_i = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
+        pad = jnp.zeros((S, R + 1), dtype=F32)
+        padi = jnp.zeros((S, R + 1), dtype=jnp.int32)
+        a_idx = padi.at[rows_s, slot].set(cand_i)[:, :R]
+        a_cnt = pad.at[rows_s, slot].set(c_c)[:, :R]
+        a_exp = pad.at[rows_s, slot].set(e_c)[:, :R]
+        a_sc = pad.at[rows_s, slot].set(scores)[:, :R]
+        n_acc = jnp.sum(accepted, axis=1).astype(jnp.int32)
+        overflow = overflow | jnp.any((n_acc > R) & active)
 
-        st0 = (s_valid, digits0, lo0, hi0,
-               init_agg[0], init_agg[1], init_agg[2], init_score,
-               seen_lo, seen_hi, n_seen,
-               acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-               overflow)
-        st = jax.lax.while_loop(cond, body, st0)
-        (_, digits, lo, hi, bc, be, bb, bscore,
-         seen_lo, seen_hi, n_seen,
-         acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc, overflow) = st
+        # chosen mutation / state update
+        ch_letter = jnp.take_along_axis(letters, best_idx[:, None], axis=1)[:, 0]
+        ch_pos = pos_idx[best_idx]
+        new_digits = jnp.where(
+            (jnp.arange(W, dtype=jnp.int32)[None, :] == ch_pos[:, None])
+            & improved[:, None],
+            ch_letter[:, None], digits)
+        pick = lambda arr: jnp.take_along_axis(  # noqa: E731
+            arr, best_idx[:, None], axis=1)[:, 0]
+        bc = jnp.where(improved, pick(c_c), bc)
+        be = jnp.where(improved, pick(e_c), be)
+        bb = jnp.where(improved, pick(b_c), bb)
+        best_score = jnp.where(improved, step_min, best_score)
 
-        # emit unless the final pattern is already known
-        # (reference: src/peng.cpp:511-524; seen is a superset of the
-        # emitted set, so one membership test suffices)
-        in_seen = jnp.any((seen_lo == lo) & (seen_hi == hi))
-        emitted = s_valid & ~in_seen
-        start = jnp.minimum(n_seen, seen_cap - 1)
-        seen_lo = jax.lax.dynamic_update_slice(
-            seen_lo, jnp.where(emitted, lo, -1)[None], (start,))
-        seen_hi = jax.lax.dynamic_update_slice(
-            seen_hi, jnp.where(emitted, hi, -1)[None], (start,))
-        overflow = overflow | (n_seen + 1 > seen_cap)
-        n_seen = jnp.minimum(n_seen + 1, seen_cap)
+        improved_buf = improved_buf.at[t].set(improved)
+        chosen_idx_buf = chosen_idx_buf.at[t].set(best_idx)
+        chosen_cnt_buf = chosen_cnt_buf.at[t].set(pick(c_c))
+        chosen_exp_buf = chosen_exp_buf.at[t].set(pick(e_c))
+        chosen_bgp_buf = chosen_bgp_buf.at[t].set(pick(b_c))
+        chosen_sc_buf = chosen_sc_buf.at[t].set(step_min)
+        acc_idx_buf = acc_idx_buf.at[t].set(a_idx)
+        acc_cnt_buf = acc_cnt_buf.at[t].set(a_cnt)
+        acc_exp_buf = acc_exp_buf.at[t].set(a_exp)
+        acc_sc_buf = acc_sc_buf.at[t].set(a_sc)
+        acc_n_buf = acc_n_buf.at[t].set(jnp.where(active, n_acc, 0))
 
-        out = (digits, bc, be, bb, bscore, emitted,
-               init_agg[0], init_agg[1], init_agg[2], init_score)
-        carry = (seen_lo, seen_hi, n_seen,
-                 acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-                 overflow)
-        return carry, out
+        return (t + 1, new_digits, best_score, bc, be, bb, improved,
+                improved_buf, chosen_idx_buf, chosen_cnt_buf, chosen_exp_buf,
+                chosen_bgp_buf, chosen_sc_buf, acc_idx_buf, acc_cnt_buf,
+                acc_exp_buf, acc_sc_buf, acc_n_buf, overflow)
 
-    init_carry = (
-        jnp.full((seen_cap,), -1, dtype=jnp.int32),
-        jnp.full((seen_cap,), -1, dtype=jnp.int32),
-        jnp.int32(0),
-        jnp.zeros((trace_cap,), dtype=jnp.int32),
-        jnp.zeros((trace_cap, W), dtype=jnp.int32),
-        jnp.zeros((trace_cap,), dtype=F32),
-        jnp.zeros((trace_cap,), dtype=F32),
-        jnp.zeros((trace_cap,), dtype=F32),
-        jnp.int32(0),
-        jnp.bool_(False),
-    )
-    seeds = (seed_ids.astype(jnp.int32), seed_valid,
-             jnp.arange(S, dtype=jnp.int32))
-    carry, outs = jax.lax.scan(seed_body, init_carry, seeds)
-    (_, _, _, acc_seed, acc_dig, acc_cnt, acc_exp, acc_sc, n_acc,
-     overflow) = carry
-    (digits, bc, be, bb, bscore, emitted,
-     ic, ie, ib, iscore) = outs
+    st0 = (jnp.int32(0), digits0, init_score,
+           init_agg[:, 0], init_agg[:, 1], init_agg[:, 2], seed_valid,
+           zt_b, zt_i, zt_f, zt_f, zt_f, zt_f,
+           za_i, za_f, za_f, za_f, zt_i, jnp.bool_(False))
+    st = jax.lax.while_loop(cond, body, st0)
+    (t_end, _, _, _, _, _, active,
+     improved_buf, chosen_idx_buf, chosen_cnt_buf, chosen_exp_buf,
+     chosen_bgp_buf, chosen_sc_buf, acc_idx_buf, acc_cnt_buf,
+     acc_exp_buf, acc_sc_buf, acc_n_buf, overflow) = st
+    overflow = overflow | jnp.any(active)  # ran out of steps mid-walk
+
     return dict(
-        best_digits=digits, best_counts=bc, best_expected=be, best_bgp=bb,
-        best_score=bscore, emitted=emitted,
-        init_counts=ic, init_expected=ie, init_bgp=ib, init_score=iscore,
-        acc_seed=acc_seed, acc_digits=acc_dig, acc_counts=acc_cnt,
-        acc_expected=acc_exp, acc_score=acc_sc, n_acc=n_acc,
-        overflow=overflow,
+        improved=improved_buf, chosen_idx=chosen_idx_buf,
+        chosen_counts=chosen_cnt_buf, chosen_expected=chosen_exp_buf,
+        chosen_bgp=chosen_bgp_buf, chosen_score=chosen_sc_buf,
+        acc_idx=acc_idx_buf, acc_counts=acc_cnt_buf,
+        acc_expected=acc_exp_buf, acc_score=acc_sc_buf, acc_n=acc_n_buf,
+        init_counts=init_agg[:, 0], init_expected=init_agg[:, 1],
+        init_bgp=init_agg[:, 2], init_score=init_score,
+        n_steps=t_end, overflow=overflow,
     )
 
 
-def run_climb(counts_flat, expected_flat, bgp_flat, logp_flat, seed_ids,
+def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
               length: int, both: bool, score_type: int, n_sequences: int,
-              pseudo_expected: int, max_seeds: int) -> ClimbResult:
-    """Host wrapper: pad seeds, dispatch once, fetch the small outputs."""
+              pseudo_expected: int, max_seeds: int) -> WalkTrace:
+    """Host wrapper: pad seeds, dispatch once, fetch the trace."""
     S = max_seeds
     ids = np.zeros(S, dtype=np.int32)
     valid = np.zeros(S, dtype=bool)
@@ -375,30 +351,116 @@ def run_climb(counts_flat, expected_flat, bgp_flat, logp_flat, seed_ids,
     ids[:n] = np.asarray(seed_ids[:n], dtype=np.int32)
     valid[:n] = True
 
-    out = climb_program(
-        counts_flat, expected_flat, bgp_flat, logp_flat,
+    out = walks_program(
+        counts_flat, expected_flat, bgp_flat,
         jnp.asarray(ids), jnp.asarray(valid),
         jnp.float32(n_sequences), jnp.float32(pseudo_expected),
         length, both, score_type)
     h = jax.device_get(out)
-    return ClimbResult(
-        best_digits=np.asarray(h["best_digits"]),
-        best_counts=np.asarray(h["best_counts"], dtype=np.float64).astype(
-            np.int64),
-        best_expected=np.asarray(h["best_expected"]),
-        best_bgp=np.asarray(h["best_bgp"]),
-        emitted=np.asarray(h["emitted"]),
-        init_counts=np.asarray(h["init_counts"], dtype=np.float64).astype(
-            np.int64),
+    return WalkTrace(
+        improved=np.asarray(h["improved"]),
+        chosen_idx=np.asarray(h["chosen_idx"]),
+        chosen_counts=np.asarray(h["chosen_counts"]),
+        chosen_expected=np.asarray(h["chosen_expected"]),
+        chosen_bgp=np.asarray(h["chosen_bgp"]),
+        chosen_score=np.asarray(h["chosen_score"]),
+        acc_idx=np.asarray(h["acc_idx"]),
+        acc_counts=np.asarray(h["acc_counts"]),
+        acc_expected=np.asarray(h["acc_expected"]),
+        acc_score=np.asarray(h["acc_score"]),
+        acc_n=np.asarray(h["acc_n"]),
+        init_counts=np.asarray(h["init_counts"]),
         init_expected=np.asarray(h["init_expected"]),
         init_bgp=np.asarray(h["init_bgp"]),
         init_score=np.asarray(h["init_score"]),
-        acc_seed=np.asarray(h["acc_seed"]),
-        acc_digits=np.asarray(h["acc_digits"]),
-        acc_counts=np.asarray(h["acc_counts"], dtype=np.float64).astype(
-            np.int64),
-        acc_expected=np.asarray(h["acc_expected"]),
-        acc_score=np.asarray(h["acc_score"]),
-        n_acc=int(h["n_acc"]),
+        n_steps=int(h["n_steps"]),
         overflow=bool(h["overflow"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# host: seen-set replay
+# ---------------------------------------------------------------------------
+
+_POW11 = [11 ** p for p in range(32)]
+
+
+def _key(digits) -> int:
+    out = 0
+    for p, d in enumerate(digits):
+        out += int(d) * _POW11[p]
+    return out
+
+
+def _candidate_keys(digits, key: int, W: int):
+    """All single-position mutant keys of a mother, reference order
+    (src/peng.cpp:470-480): position-major, similar-letter order."""
+    keys = []
+    for p in range(W):
+        c = int(digits[p])
+        base = key - c * _POW11[p]
+        for r in IUPAC_SIMILAR[c]:
+            keys.append(base + r * _POW11[p])
+    return keys
+
+
+def replay_walks(trace: WalkTrace, seed_ids, W: int) -> List[SeedOutcome]:
+    """Sequential seen-set bookkeeping over the device trajectories
+    (reference: src/peng.cpp:450-541).  Returns one outcome per seed, in
+    seed order, with the reference's exact kill/emit decisions."""
+    seen: set = set()
+    best_set: set = set()
+    outcomes: List[SeedOutcome] = []
+
+    for s, seed_id in enumerate(seed_ids):
+        seed_id = int(seed_id)
+        digits = np.asarray(
+            [(seed_id >> (2 * p)) & 3 for p in range(W)], dtype=np.int32)
+        key = _key(digits)
+        rows: List[Tuple[np.ndarray, int, float, float]] = [(
+            digits.copy(), int(trace.init_counts[s]),
+            float(trace.init_expected[s]), float(trace.init_score[s]))]
+        f_cnt = int(trace.init_counts[s])
+        f_exp = np.float32(trace.init_expected[s])
+        f_bgp = np.float32(trace.init_bgp[s])
+
+        t = 0
+        while True:
+            # step t was evaluated by the device (the walk was active)
+            cand_keys = set(_candidate_keys(digits, key, W))
+            for j in range(int(trace.acc_n[t, s])):
+                idx = int(trace.acc_idx[t, s, j])
+                p, r = divmod(idx, MAXSIM)
+                row_digits = digits.copy()
+                row_digits[p] = SIM_TABLE[digits[p], r]
+                rows.append((row_digits, int(trace.acc_counts[t, s, j]),
+                             float(trace.acc_expected[t, s, j]),
+                             float(trace.acc_score[t, s, j])))
+            if not trace.improved[t, s]:
+                # no improvement: every candidate enters seen, walk ends
+                # (best == mother, never a candidate of its own step)
+                seen |= cand_keys
+                break
+            idx = int(trace.chosen_idx[t, s])
+            p, r = divmod(idx, MAXSIM)
+            new_digits = digits.copy()
+            new_digits[p] = SIM_TABLE[digits[p], r]
+            new_key = key + (int(new_digits[p]) - int(digits[p])) * _POW11[p]
+            f_cnt = int(trace.chosen_counts[t, s])
+            f_exp = np.float32(trace.chosen_expected[t, s])
+            f_bgp = np.float32(trace.chosen_bgp[t, s])
+            killed = new_key in seen
+            seen |= cand_keys - {new_key}
+            digits, key = new_digits, new_key
+            if killed:
+                break
+            t += 1
+
+        emitted = key not in best_set and key not in seen
+        if emitted:
+            best_set.add(key)
+            seen.add(key)
+        outcomes.append(SeedOutcome(
+            rows=rows, emitted=emitted, final_digits=digits,
+            final_counts=f_cnt, final_expected=f_exp, final_bgp=f_bgp))
+    return outcomes

@@ -242,59 +242,107 @@ def base_log_pvalues_flat(counts: jax.Array, expected: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# optimization scores (vectorized device mirror of utils/numerics.py)
+# optimization scores (device mirror of utils/numerics.py)
+#
+# The reference stores scores in ``float`` variables but C-library
+# transcendentals promote to double (utils/numerics.py documents every
+# promotion point, validated by byte-parity against the reference
+# binary).  These device versions replicate each rounding point: f32
+# elementwise steps, f64 (x64-enabled) log/exp/sqrt, rounded back to f32
+# exactly where the C++ expression assigns to a float.  Decision
+# comparisons in the climb are therefore f32-vs-f32, the same values the
+# reference compares (up to the backend's f64 libm last-ulps and the
+# tree-vs-sequential order of the f32 aggregation sums).
 # ---------------------------------------------------------------------------
 
+F64 = jnp.float64
 
-def _entropy(p):
-    p = p.astype(F32)
-    return (-p * jnp.log(p) - (1.0 - p) * jnp.log(1.0 - p)).astype(F32)
+
+def _f32(x):
+    return jnp.asarray(x).astype(F32)
+
+
+def _f64(x):
+    return jnp.asarray(x).astype(F64)
+
+
+def _entropy_f(p32):
+    """F32(-p*log(p) - (1-p)*log(1-p)), double internally
+    (reference: src/utils.h:25-27; numerics.entropy_f)."""
+    pd = _f64(p32)
+    return _f32(-pd * jnp.log(pd) - (1.0 - pd) * jnp.log(1.0 - pd))
 
 
 def mutual_information_score(obs, exp_, n_sequences) -> jax.Array:
     """-sum_q MI/H(q) over priors {0.5, 0.1, 0.01}; 0 when obs < exp
-    (reference: src/base_pattern.cpp:184-200, src/utils.h:10-37)."""
-    obs = obs.astype(F32)
-    exp_ = exp_.astype(F32)
-    n = F32(n_sequences)
-    p_obs = (1.0 - jnp.exp((-(obs / n)).astype(F32))).astype(F32)
-    p_exp = (1.0 - jnp.exp((-(exp_ / n)).astype(F32))).astype(F32)
-    score = jnp.zeros_like(obs)
+    (reference: src/base_pattern.cpp:184-200, src/utils.h:29-37;
+    promotion points per numerics.mutual_information_score)."""
+    import math  # noqa: PLC0415
+
+    obs = _f32(obs)
+    exp_ = _f32(exp_)
+    n = _f32(jnp.asarray(n_sequences))
+    # p = F32(1.0(double) - exp(double(F32(-(obs/n)))))
+    p_obs = _f32(1.0 - jnp.exp(_f64(_f32(-(obs / n)))))
+    p_exp = _f32(1.0 - jnp.exp(_f64(_f32(-(exp_ / n)))))
+    score = jnp.zeros(obs.shape, dtype=F32)
     for q in (0.5, 0.1, 0.01):
-        qf = F32(q)
-        p = (p_obs * qf + p_exp * (F32(1.0) - qf)).astype(F32)
-        mi = (-qf * _entropy(p_obs) - (F32(1.0) - qf) * _entropy(p_exp)
-              + _entropy(p)).astype(F32)
-        hq = -q * np.log(q) - (1.0 - q) * np.log(1.0 - q)
-        score = (score + mi / F32(hq)).astype(F32)
-    return jnp.where(obs < exp_, F32(0.0), -score).astype(F32)
+        qf = np.float32(q)
+        one_m_q = np.float32(np.float32(1.0) - qf)
+        p = _f32(_f32(p_obs * qf) + _f32(p_exp * one_m_q))
+        mi = _f32(_f32(-qf * _entropy_f(p_obs))
+                  - _f32(one_m_q * _entropy_f(p_exp))
+                  + _entropy_f(p))
+        # H(q) is a compile-time constant: double math, f32 result
+        hq = np.float32(-float(qf) * math.log(float(qf))
+                        - (1.0 - float(qf)) * math.log(1.0 - float(qf)))
+        score = _f32(score + _f32(mi / hq))
+    return jnp.where(obs < exp_, F32(0.0), _f32(-score))
 
 
 def enrichment_score(obs, exp_, pseudo_expected) -> jax.Array:
-    """(expected + pseudo) / observed (reference: src/base_pattern.cpp:180-182)."""
-    return ((exp_.astype(F32) + F32(pseudo_expected))
-            / obs.astype(F32)).astype(F32)
+    """F32((expected + pseudo) / observed)
+    (reference: src/base_pattern.cpp:180-182; numerics.exp_count_fraction)."""
+    return _f32(_f32(_f32(exp_) + _f32(pseudo_expected)) / _f32(obs))
 
 
 def iupac_zscore(obs, exp_) -> jax.Array:
-    """(n - mu)/sqrt(mu) in f32 (reference: src/iupac_pattern.cpp:446
-    divides in double; f32 here — TPU-engine tolerance)."""
-    num = obs.astype(F32) - exp_.astype(F32)
-    return (num / jnp.sqrt(exp_.astype(F32))).astype(F32)
+    """F32(double(F32(n - mu)) / sqrt(double(mu)))
+    (reference: src/iupac_pattern.cpp:446; numerics.zscore_from_sums)."""
+    num = _f32(_f32(obs) - _f32(exp_))
+    return _f32(_f64(num) / jnp.sqrt(_f64(_f32(exp_))))
 
 
 def iupac_log_pvalue(obs, exp_, zscore, bonferroni_sum) -> jax.Array:
     """IUPAC log p-value with the per-letter Bonferroni penalty sum
-    added by the caller (reference: src/iupac_pattern.cpp:453-469)."""
-    mu = exp_.astype(F32)
-    n = obs.astype(F32)
-    frac = (F32(1.0) - (mu / (n + 1)).astype(F32)).astype(F32)
-    body = (n * jnp.log((mu / n).astype(F32)) + n - mu
-            - 0.5 * jnp.log(F32(6.283) * n * frac * frac))
+    added by the caller (reference: src/iupac_pattern.cpp:453-469;
+    numerics.iupac_log_pvalue — note the all-f32 ``frac``)."""
+    mu = _f32(exp_)
+    n = _f32(obs)
+    frac = _f32(F32(1.0) - _f32(mu / _f32(n + 1)))
+    nd = _f64(n)
+    ratio = _f32(mu / n)
+    body = (nd * jnp.log(_f64(ratio)) + nd - _f64(mu)
+            - 0.5 * jnp.log(6.283 * nd * _f64(frac) * _f64(frac)))
     cond = (n > mu) & (obs > 5) & (zscore > 2)
-    logp = jnp.where(cond, body.astype(F32), F32(0.0))
-    logp = jnp.where(obs == 0, jnp.inf, logp)
-    return (logp + bonferroni_sum.astype(F32)).astype(F32)
+    logp = jnp.where(cond, _f32(body), F32(0.0))
+    logp = jnp.where(obs == 0, jnp.inf, logp).astype(F32)
+    return _f32(logp + _f32(bonferroni_sum))
+
+
+def base_log_pvalues_ref(counts, expected) -> jax.Array:
+    """Base-pattern log p-values with the reference's promotion points
+    (reference: src/base_pattern.cpp:231-250; numerics.base_log_pvalue —
+    the literal 1.0 makes ``frac`` a double subtraction)."""
+    n32 = _f32(counts)
+    mu = _f32(expected)
+    frac = _f32(1.0 - _f64(_f32(mu / _f32(n32 + 1))))
+    nd = _f64(n32)
+    ratio = _f32(mu / n32)
+    body = (nd * jnp.log(_f64(ratio)) + nd - _f64(mu)
+            - 0.5 * jnp.log(6.283 * nd * _f64(frac) * _f64(frac)))
+    out = jnp.where((n32 > mu) & (counts > 5), _f32(body), F32(0.0))
+    return jnp.where(counts == 0, jnp.inf, out).astype(F32)
 
 
 def optimization_scores(score_type: int, obs, exp_, n_sequences,
