@@ -186,10 +186,30 @@ def walks_program(
     else:
         stack = jnp.stack([counts_f, expected_flat, bgp_flat])
 
+    # hi/lo bilinear layout: flat id = hi * 4**half + lo, so the table
+    # is a [G, H, L] tensor and a separable-mask aggregate is the
+    # bilinear form  kron_hi^T X kron_lo  — per step, all three mask
+    # sets' X-contractions batch into two MXU matmuls instead of
+    # O(W^2) shrinking einsums (see _batched_eval below).
+    half = W // 2
+    Lb = 4 ** half
+    X = stack.reshape(3, Lb, Lb)
+    dig = np.stack([(np.arange(Lb) >> (2 * p)) & 3
+                    for p in range(half)])               # [half, L]
+    oh_np = np.zeros((half, 4, Lb), dtype=np.float32)
+    for _p in range(half):
+        oh_np[_p, dig[_p], np.arange(Lb)] = 1.0
+    DIG = jnp.asarray(dig.astype(np.int32))
+    OH = jnp.asarray(oh_np)
+    POS_H = jnp.arange(half, dtype=jnp.int32)[:, None]   # [half, 1]
+
     sim_tbl = jnp.asarray(SIM_TABLE)
     masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=F32)
     lb = jnp.asarray(np.asarray(LOG_BONFERRONI, dtype=np.float32))
     pos_idx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), MAXSIM)  # [C]
+    mirror = W - 1 - pos_idx                                      # [C]
+    pair_lo = jnp.minimum(pos_idx, mirror)                        # [C]
+    is_low = (pos_idx < half)[None, :, None]                      # [1, C, 1]
 
     def bonferroni_fold(digit_mat):
         """Sequential f32 fold over positions (the reference adds the
@@ -199,24 +219,115 @@ def walks_program(
             b = (b + lb[digit_mat[..., p]]).astype(F32)
         return b
 
-    def eval_walk(digits):
-        """All C mutants of one walk's mother: (scores_f32, cnt, exp, bgp)."""
-        m = masks_tbl[digits]                           # [W, 4]
-        sims = sim_tbl[digits]                          # [W, MAXSIM]
-        cand_letters = sims.reshape(-1)                 # [C] reference order
+    def _factors(rows_half):
+        """[S, half, 4] per-position rows -> [S, half, L] per-index
+        factors (the mask value each position contributes per block
+        index).  Mask entries are exactly 0/1 so every kron / cumprod
+        below is exact regardless of multiply order."""
+        return rows_half[:, POS_H, DIG]
+
+    def _loo(f):
+        """Exclusive prefix x suffix products along the position axis:
+        leave-one-out kron factors, [S, half, L]."""
+        pre = jnp.cumprod(f, axis=1)
+        suf = jnp.cumprod(f[:, ::-1], axis=1)[:, ::-1]
+        pre_ex = jnp.concatenate(
+            [jnp.ones_like(f[:, :1]), pre[:, :-1]], axis=1)
+        suf_ex = jnp.concatenate(
+            [suf[:, 1:], jnp.ones_like(f[:, :1])], axis=1)
+        return pre_ex * suf_ex
+
+    def _batched_eval(digits):
+        """All C mutants of all S walks: (scores_f32, cnt, exp, bgp,
+        letters), each [S, C] ([S, C, ...]).
+
+        A mutant differs from its mother at one position p, so the
+        double-strand dedup aggregate S(M) + S(M_rc) - S(M & M_rc)
+        (reference: src/iupac_pattern.cpp:410-441) needs the mother's
+        single-position marginals of mask sets A = M, B = M_rc (terms
+        1, 2) and the (p, W-1-p) pair marginals of C = M & M_rc (term
+        3: p and its mirror always straddle the hi/lo split).  All
+        marginals come from two batched X-contractions plus small
+        leave-one-out combines.
+        """
+        S_ = digits.shape[0]
+        m = masks_tbl[digits]                            # [S, W, 4]
+        sims = sim_tbl[digits]                           # [S, W, MAXSIM]
+        cand_letters = sims.reshape(S_, -1)              # [S, C]
         valid = cand_letters >= 0
         letters = jnp.where(valid, cand_letters, 0)
 
-        agg = _candidate_aggregates(
-            stack, m, letters, pos_idx, W, both)        # [3, C]
-        c_c, e_c, b_c = agg[0], agg[1], agg[2]
+        if both:
+            mf = m[:, ::-1, ::-1]                        # B rows (rc set)
+            mc = m * mf                                  # C rows (dedup set)
+            fA_lo, fA_hi = _factors(m[:, :half]), _factors(m[:, half:])
+            fB_lo, fB_hi = _factors(mf[:, :half]), _factors(mf[:, half:])
+            fC_lo, fC_hi = _factors(mc[:, :half]), _factors(mc[:, half:])
+
+            # hi-side contraction: A/B full krons + C leave-one-out
+            # (reversed so slot p pairs global hi position W-1-p with
+            # lo position p)
+            looC_hi4 = (_loo(fC_hi)[:, ::-1, None, :]
+                        * OH[None, ::-1])                # [S, half, 4, H]
+            hi_cat = jnp.concatenate([
+                jnp.prod(fA_hi, axis=1)[:, None],
+                jnp.prod(fB_hi, axis=1)[:, None],
+                looC_hi4.reshape(S_, 4 * half, Lb),
+            ], axis=1)                                   # [S, 2+4*half, H]
+            Zt = jnp.einsum("ghl,skh->sgkl", X, hi_cat)
+
+            lo_cat = jnp.stack(
+                [jnp.prod(fA_lo, axis=1), jnp.prod(fB_lo, axis=1)], axis=1)
+            Yt = jnp.einsum("ghl,skl->sgkh", X, lo_cat)  # [S, 3, 2, H]
+
+            MA = jnp.concatenate([
+                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
+                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
+            ], axis=2)                                   # [S, 3, W, 4]
+            MB = jnp.concatenate([
+                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 1], _loo(fB_lo), OH),
+                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 1], _loo(fB_hi), OH),
+            ], axis=2)
+            ZC = Zt[:, :, 2:].reshape(S_, 3, half, 4, Lb)
+            looC_lo4 = _loo(fC_lo)[:, :, None, :] * OH[None]
+            G = jnp.einsum("sgpbl,spal->sgpab", ZC, looC_lo4)
+
+            u = masks_tbl[letters]                       # [S, C, 4]
+            uf = u[..., ::-1]
+            sidx = jnp.arange(S_)[:, None]
+            s1 = jnp.einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
+            s2 = jnp.einsum("sgca,sca->sgc", MB[:, :, mirror], uf)
+            m_mir = m[sidx, mirror[None, :]]             # [S, C, 4]
+            mlo_low, mhi_low = u * m_mir[..., ::-1], m_mir * uf
+            mask_lo = jnp.where(is_low, mlo_low, mhi_low)
+            mask_hi = jnp.where(is_low, mhi_low, mlo_low)
+            s3 = jnp.einsum("sgcab,sca,scb->sgc",
+                            G[:, :, pair_lo], mask_lo, mask_hi)
+            agg = s1 + s2 - s3                           # [S, 3, C]
+        else:
+            fA_lo, fA_hi = _factors(m[:, :half]), _factors(m[:, half:])
+            hi_cat = jnp.prod(fA_hi, axis=1)[:, None]
+            Zt = jnp.einsum("ghl,skh->sgkl", X, hi_cat)
+            Yt = jnp.einsum("ghl,skl->sgkh", X,
+                            jnp.prod(fA_lo, axis=1)[:, None])
+            MA = jnp.concatenate([
+                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
+                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
+            ], axis=2)
+            u = masks_tbl[letters]
+            agg = jnp.einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
+
+        c_c, e_c, b_c = agg[:, 0], agg[:, 1], agg[:, 2]  # [S, C]
 
         if score_type == 0:
-            cand_digits = jnp.broadcast_to(digits, (C, W))
-            cand_digits = cand_digits.at[jnp.arange(C), pos_idx].set(letters)
+            cand_digits = jnp.broadcast_to(
+                digits[:, None, :], (S_, C, W))
+            cand_digits = jnp.where(
+                jnp.arange(W)[None, None, :] == pos_idx[None, :, None],
+                letters[..., None], cand_digits)
             bsum = bonferroni_fold(cand_digits)
         else:
-            bsum = jnp.zeros((C,), dtype=F32)
+            bsum = jnp.zeros((S_, C), dtype=F32)
         scores = ft.optimization_scores(
             score_type, c_c, e_c, n_sequences, pseudo_expected, bsum)
         scores = jnp.where(valid & ~jnp.isnan(scores), scores, jnp.inf)
@@ -255,7 +366,7 @@ def walks_program(
          chosen_bgp_buf, chosen_sc_buf, acc_idx_buf, acc_cnt_buf,
          acc_exp_buf, acc_sc_buf, acc_n_buf, overflow) = st
 
-        scores, c_c, e_c, b_c, letters = jax.vmap(eval_walk)(digits)
+        scores, c_c, e_c, b_c, letters = _batched_eval(digits)
         # scores: [S, C]
 
         # running-min accept trace (reference: src/peng.cpp:485-497;
