@@ -97,8 +97,7 @@ def _compact_counts_i32(counts, length: int, both: bool):
     return counts
 
 
-@functools.partial(jax.jit, static_argnames=("length", "both"))
-def adv_pwm_counts_program(digit_mat, counts_flat, length: int, both: bool):
+def _adv_sub_counts(digit_mat, counts_flat, length: int, both: bool):
     """Adv-PWM occurrence sums: for every motif, position p and base a,
     the aggregate count of the motif with position p replaced by a
     (reference: src/iupac_pattern.cpp:505-536).  Closed form in the
@@ -130,6 +129,23 @@ def adv_pwm_counts_program(digit_mat, counts_flat, length: int, both: bool):
         return marg1 + s2 - s3
 
     return jax.vmap(one)(digit_mat)
+
+
+@functools.partial(jax.jit, static_argnames=("pseudo", "length", "both"))
+def adv_pwm_program(digit_mat, counts_flat, bg0, pseudo: int,
+                    length: int, both: bool):
+    """Device adv-PWM construction: letter-substitution count sums plus
+    the reference's integer pseudo-count arithmetic
+    (src/iupac_pattern.cpp:505-536: int-truncated pseudo counts, integer
+    totals, double division, float cells).  Sums are exact integers in
+    f32 while ltot < 2**24 (guarded by the engine)."""
+    sub = _adv_sub_counts(digit_mat, counts_flat, length, both)  # [M, W, 4]
+    base = jnp.trunc(jnp.float32(pseudo)
+                     * bg0.astype(jnp.float32)).astype(jnp.int32)   # [4]
+    i_total = base[None, None, :] + jnp.rint(sub).astype(jnp.int32)
+    n_total = jnp.sum(i_total, axis=-1, keepdims=True)
+    return (i_total.astype(jnp.float64)
+            / n_total.astype(jnp.float64)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -378,27 +394,49 @@ def process_tpu(peng, params) -> List[Motif]:
     for motif in candidates:
         print(f"selected iupac pattern: {motif.iupac_string()}", file=out)
 
-    # -- phase 3: PWMs ----------------------------------------------------
+    # -- phases 3 + 4 head: PWMs + EM — one dispatch chain, one fetch -----
     peng._status("Calculating PWMs")
-    with peng.timer.phase("pwm"):
-        _calculate_pwms_tpu(peng, params, candidates, st["counts"], W, both)
-
-    # -- phase 4: EM + merging --------------------------------------------
-    peng._status("Optimizing expectation-maximization / merging patterns")
-    results: List[Motif] = []
     background = peng.max_k
     table_order = min(background, W - 1)
+    with peng.timer.phase("pwm"):
+        pwm0_np = final_pwms = None
+        if candidates:
+            if params.adv_pwm:
+                from .alphabets import iupac_id_to_digits  # noqa: PLC0415
+
+                digit_mat = np.stack([
+                    iupac_id_to_digits(m.pattern_id, W) for m in candidates
+                ]).astype(np.int32)
+                pwm0_dev = adv_pwm_program(
+                    jnp.asarray(digit_mat), st["counts"],
+                    jnp.asarray(np.asarray(peng.bg_model.v[0],
+                                           dtype=np.float32)),
+                    params.pseudo_counts, W, both)
+            else:
+                pwm0_dev = jnp.asarray(
+                    np.stack([_default_pwm(peng, params, m, W)
+                              for m in candidates]))
+            if params.use_em:
+                assert table_order == current_max_k
+                final_dev, _ = em_ops.em_optimize_flat(
+                    pwm0_dev, st["counts"].astype(jnp.float32),
+                    st["bg_max"], params.em_saturation_factor,
+                    params.em_min_threshold, params.em_max_iterations, W)
+                pwm0_np, final_pwms = jax.device_get((pwm0_dev, final_dev))
+            else:
+                pwm0_np = jax.device_get(pwm0_dev)
+        for i, motif in enumerate(candidates):
+            motif.pwm = np.array(pwm0_np[i], dtype=F32)  # writable copy
+            motif.calculate_comp_pwm()
+            peng._print_pwm_row(
+                "adv pwm: " if params.adv_pwm else "def pwm: ", motif)
+
+    peng._status("Optimizing expectation-maximization / merging patterns")
+    results: List[Motif] = []
     print(f"\nbackground order: {background}", file=out)
     with peng.timer.phase("em+merge"):
         if params.use_em and candidates:
-            pwms_np = np.stack([m.pwm for m in candidates]).astype(np.float32)
-            assert table_order == current_max_k
-            bg_em = st["bg_max"]
-            final_pwms, _ = em_ops.em_optimize_flat(
-                jnp.asarray(pwms_np), st["counts"].astype(jnp.float32),
-                bg_em, params.em_saturation_factor,
-                params.em_min_threshold, params.em_max_iterations, W)
-            final_pwms = np.asarray(final_pwms)
+            final_pwms = np.array(final_pwms, dtype=F32)  # writable copy
             optimized = []
             for i, motif in enumerate(candidates):
                 new_motif = motif.clone_with_pwm(final_pwms[i])
@@ -457,43 +495,14 @@ def _replay_climb(peng, params, trace: WalkTrace, selected, W: int
     return best_motifs
 
 
-def _calculate_pwms_tpu(peng, params, motifs: List[Motif], counts_dev,
-                        W: int, both: bool):
-    """Adv/default PWM construction from the device letter-substitution
-    sums (reference: src/peng.cpp:372-393, src/iupac_pattern.cpp:475-536)."""
-    out = peng.out
+def _default_pwm(peng, params, motif: Motif, W: int) -> np.ndarray:
+    """Reference default-PWM quirk, reproduced faithfully: in default
+    mode the per-motif base-pattern list is never populated
+    (src/iupac_pattern.cpp:475-503 iterates the always-empty member
+    vector), so the PWM reduces to normalized pseudo-counts."""
     bg0 = peng.bg_model.v[0]
-    if params.adv_pwm and motifs:
-        from .alphabets import iupac_id_to_digits  # noqa: PLC0415
-
-        digit_mat = np.stack([
-            iupac_id_to_digits(m.pattern_id, W) for m in motifs
-        ]).astype(np.int32)
-        sub_counts = np.asarray(adv_pwm_counts_program(
-            jnp.asarray(digit_mat), counts_dev, W, both))
-        sub_counts = np.rint(sub_counts).astype(np.int64)
-        for mi, motif in enumerate(motifs):
-            pwm = np.zeros((W, 4), dtype=F32)
-            for p in range(W):
-                i_total = np.zeros(4, dtype=np.int64)
-                for letter in range(4):
-                    i_total[letter] = int(
-                        params.pseudo_counts * F32(bg0[letter])
-                    ) + int(sub_counts[mi, p, letter])
-                n_total = int(i_total.sum())
-                pwm[p] = (i_total.astype(np.float64) / n_total).astype(F32)
-            motif.pwm = pwm
-            motif.calculate_comp_pwm()
-            peng._print_pwm_row("adv pwm: ", motif)
-    elif params.adv_pwm:
-        pass
-    else:
-        for motif in motifs:
-            row = np.array(
-                [F32(params.pseudo_counts * F32(bg0[a])) for a in range(4)],
-                dtype=F32)
-            denom = F32(1.0 * motif.n_sites + params.pseudo_counts)
-            pwm = np.tile((row / denom).astype(F32), (W, 1))
-            motif.pwm = pwm
-            motif.calculate_comp_pwm()
-            peng._print_pwm_row("def pwm: ", motif)
+    row = np.array(
+        [F32(params.pseudo_counts * F32(bg0[a])) for a in range(4)],
+        dtype=F32)
+    denom = F32(1.0 * motif.n_sites + params.pseudo_counts)
+    return np.tile((row / denom).astype(F32), (W, 1))

@@ -275,11 +275,20 @@ def fixup_delta_pairs(codes_np: np.ndarray, susp_np: np.ndarray, length: int,
     """Sparse (ids, deltas) correction for suspicious rows, with mirror
     ids included, padded for a static-shape device scatter-add.
     Returns (ids [>=pad_to] int32, deltas [same] int32)."""
-    delta: dict = {}
+    from ..native import dedup_fixup_rows_native  # noqa: PLC0415
+
     rows = codes_np[np.flatnonzero(susp_np)]
-    for row in rows:
-        for cid, dv in host_row_recount(row, length, both_strands).items():
+    native = dedup_fixup_rows_native(rows, length, both_strands) \
+        if rows.size else (np.zeros(0, np.int64), np.zeros(0, np.int32))
+    delta: dict = {}
+    if native is not None:
+        n_ids, n_dv = native
+        for cid, dv in zip(n_ids.tolist(), n_dv.tolist()):
             delta[cid] = delta.get(cid, 0) + dv
+    else:
+        for row in rows:
+            for cid, dv in host_row_recount(row, length, both_strands).items():
+                delta[cid] = delta.get(cid, 0) + dv
     ids, dvs = [], []
     for cid, dv in delta.items():
         if dv == 0:

@@ -85,17 +85,29 @@ def em_optimize_flat(
 
         def body(carry):
             old_pwm, _, it = carry
-            # prob[id] = prod_p pwm[p][digit_p] via broadcasted DP
+            # prob[id] = prod_p pwm[p][digit_p]: the same left-to-right
+            # f32 multiply chain as the reference's recursive descent
+            # (src/peng.cpp:180-197) — bit-equal per entry
             prob = jnp.ones((n,), dtype=jnp.float32)
             for pos in range(length):
                 lo = 4 ** pos
                 prob = (prob.reshape(n // (4 * lo), 4, lo)
                         * old_pwm[pos].reshape(1, 4, 1)).reshape(-1)
-            # r = count*s / (1 + s/odds), odds = prob/bg
-            r = counts_s / (1.0 + s * bg_flat / prob)
+            # the reference's exact op order (src/peng.cpp:118-127):
+            # odds = prob/bg, then count*s / (1 + s/odds)
+            odds = prob / bg_flat
+            r = counts_s / (1.0 + s / odds)
             new_pwm = ft.all_marginals(r, ones, length)  # [W, 4]
-            new_pwm = new_pwm / jnp.sum(new_pwm, axis=1, keepdims=True)
-            change = jnp.sum(jnp.abs(new_pwm - old_pwm))
+            # normalize_pwm sums each row sequentially
+            # (src/iupac_pattern.cpp:291-303)
+            rs = (((new_pwm[:, 0] + new_pwm[:, 1]) + new_pwm[:, 2])
+                  + new_pwm[:, 3])
+            new_pwm = new_pwm / rs[:, None]
+            # change: sequential f32 fold in (p, a) order (src/peng.cpp:131-137)
+            d = jnp.abs(new_pwm - old_pwm).reshape(-1)
+            change = jnp.zeros((), dtype=jnp.float32)
+            for i in range(4 * length):
+                change = change + d[i]
             return new_pwm, change, it + 1
 
         init = (pwm0, jnp.float32(length), jnp.int32(0))
