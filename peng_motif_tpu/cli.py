@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 from . import __version__
 from .io.fasta import load_sequence_set
 from .models.background import BackgroundModel
@@ -310,16 +312,30 @@ def main(argv=None):
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    bg_model_order = max(cfg["bg_model_order"], cfg["max_opt_bg_model_order"])
-    bg_model = BackgroundModel(
-        bg_set.sequences, order=bg_model_order, interpolate=True,
-    )
-
     mesh = None
     if cfg["devices"]:
         from .parallel.mesh import make_data_mesh  # noqa: PLC0415
 
         mesh = make_data_mesh(cfg["devices"])
+
+    bg_model_order = max(cfg["bg_model_order"], cfg["max_opt_bg_model_order"])
+    if mesh is not None:
+        # sharded (k+1)-mer scan + psum over the mesh
+        # (reference serial analogue: src/shared/BackgroundModel.cpp:59-84)
+        from .parallel.sharded import count_bg_kmers_sharded  # noqa: PLC0415
+
+        lengths = np.array([len(s) for s in bg_set.sequences],
+                           dtype=np.int32)
+        bg_counts = count_bg_kmers_sharded(
+            bg_set.padded(), bg_model_order, mesh, lengths=lengths,
+        )
+        bg_model = BackgroundModel(
+            counts=bg_counts, order=bg_model_order, interpolate=True,
+        )
+    else:
+        bg_model = BackgroundModel(
+            bg_set.sequences, order=bg_model_order, interpolate=True,
+        )
 
     peng = Peng(
         cfg["strand"], cfg["bg_model_order"], cfg["max_opt_bg_model_order"],

@@ -20,12 +20,13 @@ control flow (src/peng.cpp:322-435) exactly.
 
 Parity contract: integer quantities (counts, ltot, selection) are exact;
 float statistics may differ from the byte-exact ``--engine exact`` path
-in the last ulps (device reduction order + backend libm), which can
-surface as last-digit differences in printed scores.  Decisions are
-strict float comparisons, so knife-edge accept flips are possible in
-principle; the e2e tests pin equality on the golden datasets.  When a
-device-side capacity is exceeded the engine raises :class:`EngineFallback`
-and the caller reruns the byte-exact engine.
+in the last ulps (device reduction order + backend libm), and EM's ~10
+saturated iterations amplify that to a few 1e-6 per printed PWM cell.
+Decisions are strict float comparisons, so knife-edge accept flips are
+possible in principle; tests/test_engine_tpu.py pins identical decisions
+and <=5e-6 per float on the golden datasets.  When a device-side
+capacity is exceeded the engine raises :class:`EngineFallback` and the
+caller reruns the byte-exact engine.
 """
 
 from __future__ import annotations

@@ -152,34 +152,57 @@ def _np_mirror(vals: np.ndarray, length: int) -> np.ndarray:
 
 
 def count_bg_kmers_sharded(
-    codes: np.ndarray, order: int, mesh: Mesh
+    codes: np.ndarray, order: int, mesh: Mesh,
+    lengths: np.ndarray | None = None,
 ):
     """Sharded (k+1)-mer counting for the background model: per-shard
     count vectors + psum (device path for large corpora; the host numpy
-    path in models/background.py is the semantics oracle)."""
+    path in models/background.py is the semantics oracle).
+
+    ``lengths`` gives the true per-row sequence lengths; without it the
+    row extent is inferred as up to the last non-zero code, which
+    silently clips sequences that genuinely end in Ns (code 0)."""
     n_shards = mesh.devices.size
     codes = _pad_batch(np.asarray(codes), n_shards)
+    if lengths is None:
+        nz = codes != 0
+        lens = np.where(
+            nz.any(axis=1), codes.shape[1] - np.argmax(nz[:, ::-1], axis=1), 0
+        )
+    else:
+        lens = np.zeros(codes.shape[0], dtype=np.int32)
+        lens[: len(lengths)] = np.asarray(lengths)
+    lens = lens.astype(np.int32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P("data", None),
+        in_specs=(P("data", None), P("data")),
         out_specs=tuple(P() for _ in range(order + 1)),
     )
-    def shard_count(shard_codes):
+    def shard_count(shard_codes, shard_lens):
+        in_seq = (
+            jnp.arange(shard_codes.shape[1])[None, :] < shard_lens[:, None]
+        )
         outs = []
         for k in range(order + 1):
             y, ok = _bg_window_values(shard_codes, k)
+            ok = ok & in_seq
             flat_y = jnp.where(ok, y, 0).reshape(-1)
             inc = ok.reshape(-1).astype(jnp.int32)
             tab = jnp.zeros(4 ** (k + 1), dtype=jnp.int32).at[flat_y].add(inc)
             outs.append(jax.lax.psum(tab, "data"))
         return tuple(outs)
 
-    arr = jax.device_put(
-        jnp.asarray(codes), NamedSharding(mesh, P("data", None))
+    sh = NamedSharding(mesh, P("data", None))
+    arr = jax.device_put(jnp.asarray(codes), sh)
+    lens_dev = jax.device_put(
+        jnp.asarray(lens), NamedSharding(mesh, P("data"))
     )
-    return [np.asarray(t, dtype=np.int64) for t in jax.jit(shard_count)(arr)]
+    return [
+        np.asarray(t, dtype=np.int64)
+        for t in jax.jit(shard_count)(arr, lens_dev)
+    ]
 
 
 def _bg_window_values(codes: jax.Array, k: int):
@@ -206,22 +229,8 @@ def _bg_window_values(codes: jax.Array, k: int):
         v = v + jnp.where(shifted > 0, (shifted - 1) * (4 ** j), 0)
     pos_ok = idx >= k
     ok = pos_ok[None, :] & ((~any_n9) | (v == 0))
-    # windows fully inside padding are all-N with v==0: they'd be counted
-    # as y=0 under the quirk, but the reference never sees padding.
-    # Exclude windows whose *current* position is padding beyond the last
-    # real base: a window ending on a pad zero with v==0 arises only from
-    # all-N/pad content; the reference counts real all-N windows at y=0,
-    # so keep N-windows but drop pure trailing padding.
-    in_seq = _within_sequence(codes)
-    ok = ok & in_seq
+    # windows fully inside trailing padding are all-N with v==0: they'd
+    # be counted as y=0 under the quirk, but the reference never sees
+    # padding — the caller masks ok down to each row's true extent
+    # (count_bg_kmers_sharded's in_seq from the lengths vector).
     return v, ok
-
-
-def _within_sequence(codes: jax.Array) -> jax.Array:
-    """True up to the last non-zero code of each row (real sequence extent,
-    treating trailing zeros as padding)."""
-    L = codes.shape[1]
-    nonzero = codes > 0
-    idx = jnp.arange(L)
-    last = jnp.max(jnp.where(nonzero, idx[None, :], -1), axis=1)
-    return idx[None, :] <= last[:, None]

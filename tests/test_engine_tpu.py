@@ -1,0 +1,145 @@
+"""Device-path CI: forced-device counting, the --devices mesh run and
+the uint16 overflow refetch must reproduce the reference byte-for-byte;
+the TPU engine must match every decision with floats within 5e-6.
+
+Round-1 verdict gap: every e2e parity test took the host-count branch
+and the TPU engine had no product-path test.  These pin the device
+paths on the virtual CPU mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import GOLDEN_DIR
+
+from peng_motif_tpu.cli import main
+
+
+def _run_and_diff(argv, stem, tmp_path):
+    meme_out = str(tmp_path / "out.meme")
+    assert main(argv + ["-o", meme_out]) == 0
+    with open(meme_out, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, f"{stem}.meme"), "rb") as g:
+        assert f.read() == g.read(), f"MEME output differs for {stem}"
+
+
+def _run_and_diff_tol(argv, stem, tmp_path, tol=5e-6):
+    """Structural equality with per-float tolerance: every line must
+    match token-for-token, with numeric tokens allowed to differ by
+    ``tol`` (the TPU engine's parity contract: device reduction order
+    shifts float statistics by last-ulps, and EM's ~10 saturated
+    iterations amplify that to a few 1e-6 per PWM cell; every decision
+    — motif set, IUPAC strings, counts — must be identical)."""
+    meme_out = str(tmp_path / "out.meme")
+    assert main(argv + ["-o", meme_out]) == 0
+    with open(meme_out) as f, \
+            open(os.path.join(GOLDEN_DIR, f"{stem}.meme")) as g:
+        got_lines, want_lines = f.read().splitlines(), g.read().splitlines()
+    assert len(got_lines) == len(want_lines), \
+        f"line count differs for {stem}"
+    for ln, (a, b) in enumerate(zip(got_lines, want_lines), 1):
+        if a == b:
+            continue
+        ta, tb = a.split(), b.split()
+        assert len(ta) == len(tb), f"{stem}:{ln}: {a!r} vs {b!r}"
+        for x, y in zip(ta, tb):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                raise AssertionError(f"{stem}:{ln}: {a!r} vs {b!r}")
+            assert abs(fx - fy) <= tol, f"{stem}:{ln}: {a!r} vs {b!r}"
+
+
+ENGINE_CASES = [
+    ("mafk100_w8", ["MafK_100seqs.fasta", "-w", "8"]),
+    ("mafk100_w6", ["MafK_100seqs.fasta", "-w", "6"]),
+    ("mafk100_w8_plus", ["MafK_100seqs.fasta", "-w", "8",
+                         "--strand", "PLUS"]),
+    ("mafk100_w8_noem", ["MafK_100seqs.fasta", "-w", "8", "--no-em"]),
+    ("mafk100_w8_logpval",
+     ["MafK_100seqs.fasta", "-w", "8",
+      "--optimization_score", "LOGPVAL"]),
+    ("mafk100_w8_enrich",
+     ["MafK_100seqs.fasta", "-w", "8",
+      "--optimization_score", "ENRICHMENT"]),
+    ("mafk100_w8_defpwm",
+     ["MafK_100seqs.fasta", "-w", "8", "--use-default-pwm"]),
+    ("mafk_w8", ["MafK.fasta", "-w", "8"]),
+    ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
+    ("synth_w8_plus", ["synthetic_n.fasta", "-w", "8",
+                       "--strand", "PLUS"]),
+]
+
+
+@pytest.mark.parametrize("stem,args", ENGINE_CASES,
+                         ids=[c[0] for c in ENGINE_CASES])
+def test_tpu_engine_parity(stem, args, tmp_path):
+    """--engine tpu (device-resident pipeline) vs the reference golden:
+    identical structure and decisions, floats within 5e-6."""
+    argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
+            + ["--engine", "tpu"])
+    _run_and_diff_tol(argv, stem, tmp_path)
+
+
+FORCED_DEVICE_CASES = [
+    ("mafk100_w8", ["MafK_100seqs.fasta", "-w", "8"]),
+    ("mafk_w8", ["MafK.fasta", "-w", "8"]),
+    ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
+    ("synth_w8_plus", ["synthetic_n.fasta", "-w", "8",
+                       "--strand", "PLUS"]),
+]
+
+
+@pytest.mark.parametrize("stem,args", FORCED_DEVICE_CASES,
+                         ids=[c[0] for c in FORCED_DEVICE_CASES])
+def test_forced_device_count_byte_identical(stem, args, tmp_path,
+                                            monkeypatch):
+    """Exact engine with counting forced onto the device (the adaptive
+    dispatch threshold zeroed): the device count table must feed the
+    byte-exact downstream unchanged."""
+    monkeypatch.setenv("PENG_COUNT_HOST_MAX_BASES", "0")
+    argv = [os.path.join(GOLDEN_DIR, args[0])] + args[1:]
+    _run_and_diff(argv, stem, tmp_path)
+
+
+DEVICES_CASES = [
+    ("mafk100_w8", ["MafK_100seqs.fasta", "-w", "8"]),
+    ("mafk100_w6", ["MafK_100seqs.fasta", "-w", "6"]),
+    ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
+]
+
+
+@pytest.mark.parametrize("stem,args", DEVICES_CASES,
+                         ids=[c[0] for c in DEVICES_CASES])
+def test_devices_e2e_byte_identical(stem, args, tmp_path):
+    """--devices 8 on the virtual CPU mesh: sharded counting + sharded
+    background k-mer counting + psum, then the table-local phases —
+    output must equal the single-process golden byte-for-byte."""
+    argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
+            + ["--devices", "8"])
+    _run_and_diff(argv, stem, tmp_path)
+
+
+def test_uint16_overflow_refetch():
+    """A pattern occurring >65535 times overflows the compact uint16
+    download and must trigger the int32 refetch
+    (ops/counting.py CountJob.finish)."""
+    from peng_motif_tpu.ops.counting import CountJob
+
+    os.environ["PENG_COUNT_HOST_MAX_BASES"] = "0"
+    try:
+        # 70k single-window rows of ACGT (palindromic, canonical id =
+        # itself): count[ACGT] = 70000 > uint16 max, no dedup suspicion
+        codes = np.tile(np.array([[1, 2, 3, 4]], dtype=np.uint8),
+                        (70_000, 1))
+        counts, ltot = CountJob(codes, 4, True).finish()
+        acgt = ((1 - 1) * 1 + (2 - 1) * 4 + (3 - 1) * 16 + (4 - 1) * 64)
+        assert counts[acgt] == 70_000
+        assert ltot == 70_000
+        assert counts.sum() == 70_000
+    finally:
+        del os.environ["PENG_COUNT_HOST_MAX_BASES"]
