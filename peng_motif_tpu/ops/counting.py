@@ -64,7 +64,12 @@ def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
 
         skip(s) = isN(s-1) & clean(s-W-1) & !skip(s-W-1)
 
-    a stride-(W+1) recurrence, evaluated as a short shift fixpoint.
+    a stride-(W+1) recurrence.  Along each stride-d chain the recurrence
+    ``skip = a & !skip_prev`` has the closed form "a(s), and the run of
+    consecutive a's (along the chain) ending at s has odd length", so it
+    evaluates as one log-depth cummax over the chain axis — O(log L)
+    compile-time ops instead of the O(L/W) shift fixpoint that made
+    long-row programs unbuildable.
     Returns the skip mask [B, NW]; processed = valid & ~skip.
     """
     n_win = valid.shape[1]
@@ -75,10 +80,14 @@ def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
     # a[s] = isN[s-1] & valid[s-d]  for s in [d, n_win)
     a = jnp.pad(is_n[:, d - 1 : n_win - 1] & valid[:, : n_win - d],
                 ((0, 0), (d, 0)))
-    skip = a
-    for _ in range((n_win + d - 1) // d):
-        skip = a & ~jnp.pad(skip[:, :-d], ((0, 0), (d, 0)))
-    return skip
+    b = a.shape[0]
+    m = -(-n_win // d)
+    a_p = jnp.pad(a, ((0, 0), (0, m * d - n_win))).reshape(b, m, d)
+    j = jnp.arange(m, dtype=jnp.int32)[None, :, None]
+    last_zero = jax.lax.cummax(jnp.where(a_p, jnp.int32(-1), j), axis=1)
+    run = j - last_zero
+    skip = a_p & ((run & 1) == 1)
+    return skip.reshape(b, m * d)[:, :n_win]
 
 
 def naive_dedup(cids: jax.Array, length: int):
@@ -446,6 +455,11 @@ def count_patterns(codes, length: int, both_strands: bool = True):
         both_strands), ltot: int32 total number of valid windows.
     """
     codes = jnp.asarray(codes)
+    if codes.shape[0] == 0 or codes.shape[1] < length:
+        # no window fits: the reference scan finds nothing
+        # (src/base_pattern.cpp:331-441 with no valid start position)
+        return (jnp.zeros(4 ** length, dtype=jnp.int32),
+                jnp.asarray(0, dtype=jnp.int32))
     counts, ltot, suspicious = _count_device(codes, length, both_strands)
     susp_np = np.asarray(suspicious)
     if susp_np.any():

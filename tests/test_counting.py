@@ -94,7 +94,7 @@ CASES = [
 
 @pytest.mark.parametrize("strings", CASES)
 @pytest.mark.parametrize("both", [True, False])
-@pytest.mark.parametrize("W", [4, 6])
+@pytest.mark.parametrize("W", [4, 6, 8])
 def test_count_matches_reference_scan(strings, both, W):
     seqs = [encode(s) for s in strings]
     want, want_ltot = reference_count(seqs, W, both)
@@ -178,3 +178,19 @@ def test_pruned_zsort_prefix_matches_full_sort():
         want = zscore_sort_indices(z)
         m = min(keep + 1, n)
         np.testing.assert_array_equal(got[:m], want[:m])
+
+
+def test_device_count_w10_random():
+    """Production pattern lengths: the device counter at W=10 (4**10
+    table) against the reference scan (round-1 verdict: device-count
+    unit tests stopped at W=6)."""
+    rng = np.random.default_rng(11)
+    seqs = [
+        rng.integers(0, 5, size=rng.integers(12, 120)).astype(np.uint8)
+        for _ in range(9)
+    ]
+    for both in (True, False):
+        want, want_ltot = reference_count(seqs, 10, both)
+        got, got_ltot = count_patterns(jnp.asarray(pad(seqs)), 10, both)
+        assert int(got_ltot) == want_ltot
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.int64), want)
