@@ -303,10 +303,15 @@ def main(argv=None):
         sequence_set = load_sequence_set(cfg["input"])
         # the reference always constructs a second SequenceSet for the
         # background (src/Global.cpp:66-74), re-parsing the input when no
-        # separate file is given; do the same so parse warnings repeat
-        # identically
+        # separate file is given; share the parse but replay its
+        # warnings so stderr stays byte-identical
         bg_path = cfg["background_sequences"] or cfg["input"]
-        bg_set = load_sequence_set(bg_path)
+        if bg_path == cfg["input"]:
+            for w in sequence_set.warnings:
+                print(w, file=sys.stderr)
+            bg_set = sequence_set
+        else:
+            bg_set = load_sequence_set(bg_path)
     except OSError as e:
         # reference: src/shared/SequenceSet.cpp:445-448
         print(f"Error: Cannot open FASTA file: {e.filename or e}",
@@ -337,8 +342,11 @@ def main(argv=None):
             counts=bg_counts, order=bg_model_order, interpolate=True,
         )
     else:
+        # lazy: the (k+1)-mer scan runs in a thread and overlaps the
+        # engine's device count dispatch (first .v access joins)
         bg_model = BackgroundModel(
             bg_set.sequences, order=bg_model_order, interpolate=True,
+            lazy=True,
         )
 
     peng = Peng(

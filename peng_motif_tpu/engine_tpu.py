@@ -301,8 +301,13 @@ def process_tpu(peng, params) -> List[Motif]:
 
     current_k = min(W - 1, peng.k)
     current_max_k = min(W - 1, peng.max_k)
-    v = tuple(jnp.asarray(np.asarray(vk, dtype=np.float32))
-              for vk in peng.bg_model.v[: current_max_k + 1])
+
+    def _bg_v():
+        # first access joins a lazily-counting background model — called
+        # only after the count dispatch so the host (k+1)-mer scan
+        # overlaps the device scan
+        return tuple(jnp.asarray(np.asarray(vk, dtype=np.float32))
+                     for vk in peng.bg_model.v[: current_max_k + 1])
 
     # -- phase 1: count (device, table resident) + byte-exact host
     # selection (the z-score seed sort must reproduce libstdc++ tie
@@ -324,6 +329,7 @@ def process_tpu(peng, params) -> List[Motif]:
             ltot_dev = jnp.int32(ltot)
             fix_ids = np.zeros(64, dtype=np.int32)
             fix_dv = np.zeros(64, dtype=np.int32)
+            v = _bg_v()
         else:
             if params.mesh is not None:
                 # sharded counting + psum: the replicated table stays
@@ -339,6 +345,7 @@ def process_tpu(peng, params) -> List[Motif]:
                 counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
                     count_device_full(buf, codes_np.shape[1], W, both))
                 fix_codes = codes_np
+            v = _bg_v()  # overlaps the in-flight device count
             vals, max_c, ltot, susp_np = jax.device_get(
                 (vals_u16, max_c, ltot_dev, susp_dev))
             ltot = int(ltot)

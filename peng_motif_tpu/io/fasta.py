@@ -36,6 +36,10 @@ class SequenceSet:
     headers: List[str] = field(default_factory=list)
     base_frequencies: Optional[np.ndarray] = None
     alphabet: Alphabet = STANDARD
+    # parse warnings, recorded so a reused parse can replay them (the
+    # reference re-parses the input for the background set and emits
+    # every warning twice, src/Global.cpp:58-75)
+    warnings: List[str] = field(default_factory=list)
 
     @property
     def n(self) -> int:
@@ -69,6 +73,14 @@ class SequenceSet:
         if pad_multiple > 1:
             max_l = ((max_l + pad_multiple - 1) // pad_multiple) * pad_multiple
         out = np.zeros((self.n, max_l), dtype=np.uint8)
+        flat = getattr(self, "_flat_codes", None)
+        if flat is not None and flat.shape[0] == self.total_bases:
+            # vectorized fill from the contiguous parse buffer: the
+            # row-major mask enumerates exactly the concatenation order
+            lengths = self._lengths()
+            mask = np.arange(max_l)[None, :] < lengths[:, None]
+            out[mask] = flat
+            return out
         for i, s in enumerate(self.sequences):
             out[i, : len(s)] = s
         return out
@@ -86,16 +98,17 @@ def read_fasta(
     header: Optional[str] = None
     chunks: List[str] = []
 
+    def warn(msg: str):
+        sset.warnings.append(msg)
+        print(msg, file=warn_stream)
+
     def flush(final: bool = False):
         nonlocal header, chunks
         if header is None:
             return
         seq = "".join(chunks)
         if not seq:
-            print(
-                f"Warning: Ignore FASTA entry without sequence: {filepath}",
-                file=warn_stream,
-            )
+            warn(f"Warning: Ignore FASTA entry without sequence: {filepath}")
             header = None
             chunks = []
             return
@@ -106,11 +119,8 @@ def read_fasta(
             # flush at :333 excludes silently)
             for ch, code in zip(seq, codes.tolist()):
                 if code == 0:
-                    print(
-                        "Warning: The FASTA file contains an undefined "
-                        f"base: {ch} at sequence {header}",
-                        file=warn_stream,
-                    )
+                    warn("Warning: The FASTA file contains an undefined "
+                         f"base: {ch} at sequence {header}")
         np.add.at(base_counts, codes[codes > 0] - 1, 1)
         sset.sequences.append(codes)
         sset.headers.append(header)

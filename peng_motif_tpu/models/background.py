@@ -40,6 +40,7 @@ class BackgroundModel:
         interpolate: bool = True,
         name: str = "",
         counts: Optional[List[np.ndarray]] = None,
+        lazy: bool = False,
     ):
         """Build from encoded sequences (BaMM codes, 0 = N) or raw counts.
 
@@ -52,6 +53,10 @@ class BackgroundModel:
             (reference: BackgroundModel.cpp:510-516).
           counts: pre-computed count vectors (e.g. psum'd across shards);
             overrides ``sequences``.
+          lazy: count in a background thread; first access to ``n``/``v``
+            joins it.  Lets the (k+1)-mer scan over the corpus overlap
+            the device count dispatch (the reference's serial analogue:
+            BackgroundModel.cpp:59-84 runs before Peng::process).
         """
         self.order = order
         self.alpha = np.asarray(
@@ -62,13 +67,42 @@ class BackgroundModel:
         self.interpolate = interpolate
         self.name = name
 
+        self._count_thread = None
         if counts is not None:
-            self.n = [np.asarray(c, dtype=np.int64) for c in counts]
+            self._n = [np.asarray(c, dtype=np.int64) for c in counts]
+            self._v = self._calculate_v()
         elif sequences is not None:
-            self.n = count_kmers(sequences, order)
+            if lazy:
+                import threading  # noqa: PLC0415
+
+                self._n = self._v = None
+
+                def _run():
+                    self._n = count_kmers(sequences, order)
+                    self._v = self._calculate_v()
+
+                self._count_thread = threading.Thread(target=_run, daemon=True)
+                self._count_thread.start()
+            else:
+                self._n = count_kmers(sequences, order)
+                self._v = self._calculate_v()
         else:
             raise ValueError("either sequences or counts required")
-        self.v = self._calculate_v()
+
+    def _join(self):
+        if self._count_thread is not None:
+            self._count_thread.join()
+            self._count_thread = None
+
+    @property
+    def n(self) -> Optional[List[np.ndarray]]:
+        self._join()
+        return self._n
+
+    @property
+    def v(self) -> List[np.ndarray]:
+        self._join()
+        return self._v
 
     # -- counting & conditionals ------------------------------------------
 
@@ -77,7 +111,7 @@ class BackgroundModel:
         (reference: BackgroundModel.cpp:490-530), float32 throughout with
         the reference's in-group summation order."""
         K = self.order
-        n = self.n
+        n = self._n
         A = self.alpha
         v: List[np.ndarray] = []
 
@@ -174,8 +208,9 @@ class BackgroundModel:
         model.alpha = np.asarray(alphas, dtype=np.float32)
         model.interpolate = path.endswith(".hbcp")
         model.name = os.path.basename(path).rsplit(".", 1)[0]
-        model.n = None
-        model.v = v
+        model._count_thread = None
+        model._n = None
+        model._v = v
         return model
 
 

@@ -108,6 +108,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.parse_fasta_fill.restype = ctypes.c_int64
+        lib.fasta_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fasta_open.restype = ctypes.c_int64
+        lib.fasta_take.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fasta_take.restype = ctypes.c_int64
+        lib.fasta_close.argtypes = [ctypes.c_int64]
+        lib.fasta_close.restype = None
         lib.em_optimize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # pwms [M, W, 4] in-out
             ctypes.POINTER(ctypes.c_float),  # counts [4**W]
@@ -709,35 +728,38 @@ def parse_fasta_native(filepath: str, alphabet=None):
     n_undef = ctypes.c_int64()
     header_buf = ctypes.create_string_buffer(65536)
     undef_buf = ctypes.create_string_buffer(1 << 20)
-    rc = lib.parse_fasta_sizes(filepath.encode(), ctypes.byref(n_seq),
-                               ctypes.byref(total), ctypes.byref(n_empty),
-                               header_buf, ctypes.c_int64(65536),
-                               undef_buf, ctypes.c_int64(1 << 20),
-                               ctypes.byref(n_undef))
-    if rc == -2:
+    handle = lib.fasta_open(filepath.encode(), ctypes.byref(n_seq),
+                            ctypes.byref(total), ctypes.byref(n_empty),
+                            header_buf, ctypes.c_int64(65536),
+                            undef_buf, ctypes.c_int64(1 << 20),
+                            ctypes.byref(n_undef))
+    if handle == -2:
         raise FastaFormatError(
             f"FASTA sequence contains space character: {filepath}"
         )
-    if rc == -3:
+    if handle == -3:
         raise FastaFormatError(f"Wrong FASTA format: {filepath}")
-    if rc != 0:
+    if handle <= 0:
         return None
+    warnings = []
     for _ in range(int(n_empty.value)):
         # reference: SequenceSet.cpp:344-348
-        print(f"Warning: Ignore FASTA entry without sequence: {filepath}",
-              file=sys.stderr)
+        warnings.append(
+            f"Warning: Ignore FASTA entry without sequence: {filepath}")
     # reference quirk: the EOF-flushed (last) entry warns per undefined
     # base (SequenceSet.cpp:395-404)
     if int(n_undef.value):
         hdr = header_buf.value.decode(errors="replace")
         for ch in undef_buf.value.decode(errors="replace"):
-            print("Warning: The FASTA file contains an undefined base: "
-                  f"{ch} at sequence {hdr}", file=sys.stderr)
+            warnings.append("Warning: The FASTA file contains an undefined "
+                            f"base: {ch} at sequence {hdr}")
+    for w in warnings:
+        print(w, file=sys.stderr)
     codes = np.empty(int(total.value), dtype=np.uint8)
     lengths = np.empty(int(n_seq.value), dtype=np.int64)
     base_counts = np.empty(4, dtype=np.int64)
-    rc = lib.parse_fasta_fill(
-        filepath.encode(),
+    rc = lib.fasta_take(
+        handle,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         base_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -745,6 +767,8 @@ def parse_fasta_native(filepath: str, alphabet=None):
     if rc != 0:
         return None
     sset = SequenceSet(filepath=filepath, alphabet=alphabet or STANDARD)
+    sset.warnings = warnings
+    sset._flat_codes = codes  # contiguous buffer: fast padded()
     offset = 0
     for length in lengths:
         sset.sequences.append(codes[offset : offset + int(length)])

@@ -21,8 +21,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <numeric>
 #include <string>
+#include <unordered_map>
 #include <vector>
 #include <cmath>
 #include <atomic>
@@ -229,13 +232,16 @@ int parse_file(const char* path, ParseResult& res) {
 
   bool have_header = false;
   bool have_any_header = false;
-  std::vector<uint8_t> current;
   std::string cur_header;
   std::string cur_undef;
+  res.codes.reserve(end);          // upper bound: every byte a base
+  size_t entry_start = 0;          // offset of current entry in res.codes
+  int64_t bc[5] = {0, 0, 0, 0, 0}; // [0] = undefined
   size_t pos = 0;
   while (pos < end) {
-    size_t nl = content.find('\n', pos);
-    if (nl == std::string::npos || nl >= end) nl = end;
+    const char* nlp = (const char*)memchr(content.data() + pos, '\n',
+                                          end - pos);
+    size_t nl = nlp ? (size_t)(nlp - content.data()) : end;
     size_t line_len = nl - pos;
     if (line_len > 0 && content[pos + line_len - 1] == '\r') line_len--;
     const char* line = content.data() + pos;
@@ -244,15 +250,15 @@ int parse_file(const char* path, ParseResult& res) {
 
     if (line[0] == '>') {
       if (have_header) {
-        if (!current.empty()) {
-          res.lengths.push_back((int64_t)current.size());
-          res.codes.insert(res.codes.end(), current.begin(), current.end());
-          current.clear();
+        size_t cur_len = res.codes.size() - entry_start;
+        if (cur_len > 0) {
+          res.lengths.push_back((int64_t)cur_len);
         } else {
           // reference: SequenceSet.cpp:344-348 warns per empty entry
           res.n_empty++;
         }
       }
+      entry_start = res.codes.size();
       cur_undef.clear();
       // bare ">" takes the 1-based sequence counter as header
       // (reference: SequenceSet.cpp:351-356)
@@ -262,31 +268,40 @@ int parse_file(const char* path, ParseResult& res) {
       have_header = true;
       have_any_header = true;
     } else if (have_header) {
+      size_t old = res.codes.size();
+      res.codes.resize(old + line_len);
+      uint8_t* dst = res.codes.data() + old;
       for (size_t i = 0; i < line_len; i++) {
         unsigned char ch = (unsigned char)line[i];
         if (ch == ' ') return -2;  // space in sequence: fatal
         uint8_t c = code_of[ch];
-        current.push_back(c);
-        if (c) res.base_counts[c - 1]++;
-        else cur_undef.push_back((char)ch);
+        dst[i] = c;
+        bc[c]++;
+        if (!c) cur_undef.push_back((char)ch);
       }
     } else {
       return -3;  // sequence data before any header: wrong format
     }
   }
   if (have_header) {
-    if (!current.empty()) {
-      res.lengths.push_back((int64_t)current.size());
-      res.codes.insert(res.codes.end(), current.begin(), current.end());
+    size_t cur_len = res.codes.size() - entry_start;
+    if (cur_len > 0) {
+      res.lengths.push_back((int64_t)cur_len);
       res.last_header = cur_header;
       res.last_undef = cur_undef;
     } else {
       res.n_empty++;  // trailing empty entry also warns (EOF branch)
     }
   }
+  for (int j = 0; j < 4; j++) res.base_counts[j] = bc[j + 1];
   (void)have_any_header;
   return 0;
 }
+
+// handle registry: parse once, hand the arrays out, free on take
+std::mutex g_fasta_mu;
+std::unordered_map<int64_t, std::unique_ptr<ParseResult>> g_fasta_handles;
+int64_t g_fasta_next = 1;
 
 }  // namespace
 
@@ -316,6 +331,50 @@ int64_t parse_fasta_fill(const char* path, uint8_t* codes, int64_t* lengths,
   memcpy(lengths, res.lengths.data(), res.lengths.size() * sizeof(int64_t));
   memcpy(base_counts, res.base_counts, 4 * sizeof(int64_t));
   return 0;
+}
+
+// Parse-once handle API: fasta_open parses and reports sizes; fasta_take
+// copies the arrays out and frees the handle.  Halves the work of the
+// legacy sizes+fill pair (which parses the file twice).
+int64_t fasta_open(const char* path, int64_t* n_sequences,
+                   int64_t* total_length, int64_t* n_empty,
+                   char* last_header, int64_t header_cap,
+                   char* last_undef, int64_t undef_cap, int64_t* n_undef) {
+  auto res = std::make_unique<ParseResult>();
+  int err = parse_file(path, *res);
+  if (err) return err;
+  *n_sequences = (int64_t)res->lengths.size();
+  *total_length = (int64_t)res->codes.size();
+  *n_empty = res->n_empty;
+  snprintf(last_header, (size_t)header_cap, "%s", res->last_header.c_str());
+  snprintf(last_undef, (size_t)undef_cap, "%s", res->last_undef.c_str());
+  *n_undef = (int64_t)res->last_undef.size();
+  std::lock_guard<std::mutex> lk(g_fasta_mu);
+  int64_t h = g_fasta_next++;
+  g_fasta_handles[h] = std::move(res);
+  return h;
+}
+
+int64_t fasta_take(int64_t handle, uint8_t* codes, int64_t* lengths,
+                   int64_t* base_counts) {
+  std::unique_ptr<ParseResult> res;
+  {
+    std::lock_guard<std::mutex> lk(g_fasta_mu);
+    auto it = g_fasta_handles.find(handle);
+    if (it == g_fasta_handles.end()) return -1;
+    res = std::move(it->second);
+    g_fasta_handles.erase(it);
+  }
+  memcpy(codes, res->codes.data(), res->codes.size());
+  memcpy(lengths, res->lengths.data(),
+         res->lengths.size() * sizeof(int64_t));
+  memcpy(base_counts, res->base_counts, 4 * sizeof(int64_t));
+  return 0;
+}
+
+void fasta_close(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_fasta_mu);
+  g_fasta_handles.erase(handle);
 }
 
 }  // extern "C"

@@ -106,7 +106,7 @@ class Peng:
         self.sequence_set = sequence_set
         self.bg_model = bg_model
         self.n_sequences = sequence_set.n
-        self.iupac_profile = build_iupac_profile(bg_model.v[0])
+        self._iupac_profile = None  # lazy: bg_model may still be counting
         # resolve at call time so redirect_stdout works
         self.out = stdout if stdout is not None else sys.stdout
         self.log = get_logger()
@@ -114,6 +114,15 @@ class Peng:
         # bit-exact EM by default (native path); the pure-TPU EM differs
         # from the reference by ~1e-8 per PWM cell (reduction order)
         self.exact_em = True
+
+    @property
+    def iupac_profile(self):
+        """Nearest-IUPAC rendering profiles (reference:
+        src/iupac_pattern.cpp:215-238).  Computed on first use so a
+        lazily-counting background model can overlap the count phase."""
+        if self._iupac_profile is None:
+            self._iupac_profile = build_iupac_profile(self.bg_model.v[0])
+        return self._iupac_profile
 
     # ------------------------------------------------------------------
     def process(self, params: PengParameters) -> List[Motif]:
