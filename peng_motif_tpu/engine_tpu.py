@@ -54,7 +54,7 @@ from .models.motif import MIN_MERGE_OVERLAP, Motif
 from .ops import em as em_ops
 from .ops import flat_tables as ft
 from .ops.climb import WalkTrace, replay_walks, run_walks
-from .ops.counting import count_device_full, fixup_delta_pairs, pack_codes
+from .ops.counting import fixup_delta_pairs, pack_codes
 
 F32 = np.float32
 
@@ -289,8 +289,8 @@ def process_tpu(peng, params) -> List[Motif]:
 
     W = params.max_pattern_length
     both = peng.strand == Strand.BOTH_STRANDS
-    codes_np = np.ascontiguousarray(peng.sequence_set.padded(), dtype=np.uint8)
-    if codes_np.shape[0] == 0 or codes_np.shape[1] < W:
+    sset = peng.sequence_set
+    if sset.n == 0 or sset.max_l < W:
         # degenerate inputs take the exact engine
         raise EngineFallback("degenerate input")
 
@@ -338,13 +338,24 @@ def process_tpu(peng, params) -> List[Motif]:
                 from .parallel.sharded import (  # noqa: PLC0415
                     count_device_full_sharded)
 
+                codes_np = np.ascontiguousarray(
+                    sset.padded(), dtype=np.uint8)
                 counts_dev, vals_u16, max_c, ltot_dev, susp_dev, fix_codes = (
                     count_device_full_sharded(codes_np, W, both, params.mesh))
+                stream = lay = None
             else:
-                buf = jnp.asarray(pack_codes(codes_np))
+                # stream layout: ragged-exact, long-contig halo chunks,
+                # shape-stable compiles (ops/stream_count.py)
+                from .ops.stream_count import (  # noqa: PLC0415
+                    build_stream, chunk_rows, stream_count_device)
+
+                stream, lay = build_stream(
+                    sset.sequences, W,
+                    flat_codes=getattr(sset, "_flat_codes", None))
+                rows = chunk_rows(stream, lay)
+                buf = jnp.asarray(pack_codes(rows))
                 counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
-                    count_device_full(buf, codes_np.shape[1], W, both))
-                fix_codes = codes_np
+                    stream_count_device(buf, lay.row, lay.ctx, W, both))
             v = _bg_v()  # overlaps the in-flight device count
             vals, max_c, ltot, susp_np = jax.device_get(
                 (vals_u16, max_c, ltot_dev, susp_dev))
@@ -352,7 +363,16 @@ def process_tpu(peng, params) -> List[Motif]:
             if int(max_c) > np.iinfo(np.uint16).max:
                 vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
             counts_host = _mirror_host(vals, W, both)
-            fix_ids, fix_dv = fixup_delta_pairs(fix_codes, susp_np, W, both)
+            if lay is not None:
+                from .ops.stream_count import (  # noqa: PLC0415
+                    stream_fixup_pairs)
+
+                fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
+                    stream, lay, susp_np, both)
+                ltot += ltot_delta
+            else:
+                fix_ids, fix_dv = fixup_delta_pairs(
+                    fix_codes, susp_np, W, both)
             np.add.at(counts_host, fix_ids, fix_dv)
 
         if ltot >= (1 << 24):
@@ -360,9 +380,10 @@ def process_tpu(peng, params) -> List[Motif]:
             raise EngineFallback("ltot >= 2**24")
 
         # async: device builds its resident stat tables while the host
-        # sorts and walks the seed selection below
+        # sorts and walks the seed selection below (ltot passed as the
+        # host-corrected value: seam fix-ups can shift it)
         st = stats_program(
-            counts_dev, v, ltot_dev, jnp.asarray(fix_ids),
+            counts_dev, v, jnp.int32(ltot), jnp.asarray(fix_ids),
             jnp.asarray(fix_dv), W, current_k, current_max_k, both)
 
         bgp_host = _host_bg_flat(peng.bg_model.v, W, current_k, both)

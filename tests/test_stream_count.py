@@ -1,0 +1,149 @@
+"""Stream-counting oracle tests: the gap-packed chunked layout must
+reproduce the reference scan exactly for ragged corpora, long contigs,
+N-heavy rows, tandem repeats, and adversarial seam constructions."""
+
+import numpy as np
+import pytest
+
+from peng_motif_tpu.ops.counting import reference_scan_row
+from peng_motif_tpu.ops.stream_count import (
+    ROW,
+    StreamCountJob,
+    build_stream,
+    chunk_rows,
+    make_layout,
+)
+
+
+def _oracle(seqs, W, both):
+    counts: dict = {}
+    ltot = 0
+    for s in seqs:
+        c, lt = reference_scan_row(np.asarray(s, dtype=np.uint8), W, both)
+        for k, v in c.items():
+            counts[k] = counts.get(k, 0) + v
+        ltot += lt
+    return counts, ltot
+
+
+def _check(seqs, W, both):
+    job = StreamCountJob(seqs, W, both)
+    got, got_ltot = job.finish()
+    want, want_ltot = _oracle(seqs, W, both)
+    assert got_ltot == want_ltot
+    full = np.zeros(4 ** W, dtype=np.int64)
+    for k, v in want.items():
+        full[k] += v
+        if both:
+            from peng_motif_tpu.ops.counting import _np_revcomp_id
+
+            rk = _np_revcomp_id(k, W)
+            if rk != k:
+                full[rk] += v
+    np.testing.assert_array_equal(got, full)
+
+
+@pytest.mark.parametrize("both", [True, False], ids=["both", "plus"])
+def test_ragged_random(both):
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(1, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(3, 900, size=40)]
+    _check(seqs, 8, both)
+
+
+@pytest.mark.parametrize("both", [True, False], ids=["both", "plus"])
+def test_ragged_with_ns(both):
+    rng = np.random.default_rng(1)
+    seqs = []
+    for n in rng.integers(3, 700, size=30):
+        s = rng.integers(1, 5, size=int(n)).astype(np.uint8)
+        s[rng.random(int(n)) < 0.08] = 0
+        seqs.append(s)
+    _check(seqs, 6, both)
+
+
+def test_tandem_repeats_cross_chunks():
+    # AT repeated across several chunk widths: dense same-pattern chains
+    # with gaps < W on both strands (dedup suspicion machinery)
+    seqs = [np.tile(np.array([1, 4], dtype=np.uint8), 3 * ROW),
+            np.tile(np.array([1, 2, 3], dtype=np.uint8), ROW)]
+    _check(seqs, 6, True)
+    _check(seqs, 6, False)
+
+
+def test_long_contig_chunked():
+    # one contig spanning many chunks, sprinkled Ns (post-N skip rule at
+    # seams), low-entropy stretches (blocking chains)
+    rng = np.random.default_rng(2)
+    s = rng.integers(1, 5, size=200_000).astype(np.uint8)
+    s[rng.random(200_000) < 0.01] = 0
+    s[5_000:5_200] = np.tile(np.array([2, 2, 1, 2], dtype=np.uint8), 50)
+    _check([s], 8, True)
+
+
+def test_seam_ambiguity_parity_chain():
+    # an N every W+1 bases: the post-N-skip parity chain crosses every
+    # chunk seam (the zero-padded recurrence would misstate run parity
+    # without the ambiguity certificate)
+    W = 6
+    d = W + 1
+    rng = np.random.default_rng(3)
+    s = rng.integers(1, 5, size=4 * ROW).astype(np.uint8)
+    s[d - 1 :: d] = 0
+    _check([s], W, True)
+    _check([s], W, False)
+
+
+def test_sequence_boundaries_at_seams():
+    # many short sequences so gaps land inside chunk seam regions
+    rng = np.random.default_rng(4)
+    seqs = [rng.integers(1, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(6, 40, size=200)]
+    _check(seqs, 6, True)
+
+
+def test_short_and_degenerate_rows():
+    seqs = [np.array([1, 2, 3], dtype=np.uint8),          # shorter than W
+            np.array([], dtype=np.uint8),                  # empty
+            np.array([1, 2, 3, 4, 1, 2, 3, 4], dtype=np.uint8)]
+    _check(seqs, 8, True)
+
+
+def test_matches_padded_batch_path():
+    # byte-parity with the existing CountJob device table on MafK
+    import os
+
+    from conftest import GOLDEN_DIR
+    from peng_motif_tpu.io.fasta import load_sequence_set
+    from peng_motif_tpu.ops.counting import CountJob
+
+    ss = load_sequence_set(os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"))
+    for both in (True, False):
+        want, want_ltot = CountJob(ss.padded(), 8, both).finish()
+        job = StreamCountJob(ss.sequences, 8, both,
+                             flat_codes=getattr(ss, "_flat_codes", None))
+        got, got_ltot = job.finish()
+        assert got_ltot == want_ltot
+        np.testing.assert_array_equal(got, want)
+
+
+def test_layout_geometry():
+    lay = make_layout([300, 5, 700], 8, row=128)
+    assert lay.ctx == 14
+    assert lay.core == 128 - 8 + 1 - 14
+    # gaps of exactly W zeros between sequences
+    stream, lay2 = build_stream(
+        [np.ones(300, np.uint8), np.ones(5, np.uint8) * 2,
+         np.ones(700, np.uint8) * 3], 8, row=128)
+    assert lay2.stream_len == 300 + 8 + 5 + 8 + 700
+    assert (stream[300:308] == 0).all()
+    assert (stream[308:313] == 2).all()
+    rows = chunk_rows(stream, lay2)
+    assert rows.shape == (lay2.m_pad, 128)
+    # chunk c core starts at stream position c*core; its row begins ctx
+    # bases earlier
+    c = 2
+    lo = c * lay2.core - lay2.ctx
+    np.testing.assert_array_equal(rows[c], np.pad(
+        stream, (lay2.ctx, 10 * lay2.row))[lo + lay2.ctx : lo + lay2.ctx
+                                           + lay2.row])
