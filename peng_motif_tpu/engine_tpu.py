@@ -4,8 +4,10 @@ This is the fast product path (``--engine tpu``): every 4**W table
 lives on device from counting to EM, and the pipeline runs as a handful
 of fused device programs —
 
-  1. ``count_device_full``       packed upload -> mirrored count table
-                                 (resident), ltot + suspicion out
+  1. ``stream_count_device``     gap-packed halo-chunk stream scan ->
+                                 mirrored count table (resident), ltot
+                                 + suspicion out (ops/stream_count.py;
+                                 sharded over the mesh when --devices)
   2. ``stats_topk_program``      sparse dedup fix-up, background DP for
                                  all orders, expected/z/log-pvalues,
                                  top-K seed candidates out
@@ -54,7 +56,7 @@ from .models.motif import MIN_MERGE_OVERLAP, Motif
 from .ops import em as em_ops
 from .ops import flat_tables as ft
 from .ops.climb import WalkTrace, replay_walks, run_walks
-from .ops.counting import fixup_delta_pairs, pack_codes
+from .ops.counting import pack_codes
 
 F32 = np.float32
 
@@ -332,17 +334,17 @@ def process_tpu(peng, params) -> List[Motif]:
             v = _bg_v()
         else:
             if params.mesh is not None:
-                # sharded counting + psum: the replicated table stays
-                # mesh-resident for the table-local phases 2-4
-                # (parallel/sharded.py; SURVEY.md section 5)
+                # sharded stream counting + psum: chunks shard over the
+                # data axis (long contigs split with exact halos), one
+                # collective replicates the resident table for the
+                # table-local phases 2-4 (SURVEY.md section 5)
                 from .parallel.sharded import (  # noqa: PLC0415
-                    count_device_full_sharded)
+                    stream_count_sharded)
 
-                codes_np = np.ascontiguousarray(
-                    sset.padded(), dtype=np.uint8)
-                counts_dev, vals_u16, max_c, ltot_dev, susp_dev, fix_codes = (
-                    count_device_full_sharded(codes_np, W, both, params.mesh))
-                stream = lay = None
+                counts_dev, vals_u16, max_c, ltot_dev, susp_dev, stream, \
+                    lay = stream_count_sharded(
+                        sset.sequences, W, both, params.mesh,
+                        flat_codes=getattr(sset, "_flat_codes", None))
             else:
                 # stream layout: ragged-exact, long-contig halo chunks,
                 # shape-stable compiles (ops/stream_count.py)
@@ -363,16 +365,11 @@ def process_tpu(peng, params) -> List[Motif]:
             if int(max_c) > np.iinfo(np.uint16).max:
                 vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
             counts_host = _mirror_host(vals, W, both)
-            if lay is not None:
-                from .ops.stream_count import (  # noqa: PLC0415
-                    stream_fixup_pairs)
+            from .ops.stream_count import stream_fixup_pairs  # noqa: PLC0415
 
-                fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
-                    stream, lay, susp_np, both)
-                ltot += ltot_delta
-            else:
-                fix_ids, fix_dv = fixup_delta_pairs(
-                    fix_codes, susp_np, W, both)
+            fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
+                stream, lay, susp_np, both)
+            ltot += ltot_delta
             np.add.at(counts_host, fix_ids, fix_dv)
 
         if ltot >= (1 << 24):

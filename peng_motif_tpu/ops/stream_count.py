@@ -173,15 +173,11 @@ def _skip_and_ambiguity(codes: jax.Array, valid: jax.Array, length: int):
     return skip.reshape(b, m * d)[:, :n_win], ambiguous
 
 
-@functools.partial(
-    jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
-def stream_count_device(buf, row: int, ctx: int, length: int,
+def stream_local_counts(codes: jax.Array, ctx: int, length: int,
                         both_strands: bool):
-    """Counting over the chunked stream.  Returns (counts resident
-    [4**W] int32 mirrored, vals compact u16, max_count, ltot,
-    suspicious [m_pad]) — the count_device_full contract on the stream
-    layout."""
-    codes = _unpack_codes(buf, row)
+    """Per-chunk-batch raw counting: (counts [4**W] int32 un-mirrored,
+    ltot, suspicious [rows]).  The shard-mapped mesh path psums these
+    before the canonical compaction."""
     fwd, rc, valid = encoding.window_ids(codes, length)
     skip, ambiguous = _skip_and_ambiguity(codes, valid, length)
     processed = valid & ~skip
@@ -195,7 +191,11 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
     counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(
         flat_inc)
     ltot = (processed & core[None, :]).astype(jnp.int32).sum()
-    suspicious = susp | ambiguous
+    return counts, ltot, susp | ambiguous
+
+
+def stream_compact(counts: jax.Array, length: int, both_strands: bool):
+    """(resident mirrored counts, compact canonical vals u16, max)."""
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
@@ -204,7 +204,22 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
         counts = jnp.where(canon, counts, counts[rc_ids])
     else:
         vals = counts
-    return counts, vals.astype(jnp.uint16), vals.max(), ltot, suspicious
+    return counts, vals.astype(jnp.uint16), vals.max()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
+def stream_count_device(buf, row: int, ctx: int, length: int,
+                        both_strands: bool):
+    """Counting over the chunked stream.  Returns (counts resident
+    [4**W] int32 mirrored, vals compact u16, max_count, ltot,
+    suspicious [m_pad]) — the count_device_full contract on the stream
+    layout."""
+    codes = _unpack_codes(buf, row)
+    counts, ltot, suspicious = stream_local_counts(
+        codes, ctx, length, both_strands)
+    counts, vals, max_c = stream_compact(counts, length, both_strands)
+    return counts, vals, max_c, ltot, suspicious
 
 
 # ---------------------------------------------------------------------------

@@ -176,6 +176,52 @@ def count_device_full_sharded(
     return counts_dev, vals_u16, max_c, ltot, susp, codes
 
 
+def stream_count_sharded(
+    sequences, length: int, both_strands: bool, mesh: Mesh,
+    flat_codes: np.ndarray | None = None,
+):
+    """Stream counting (ops/stream_count.py) with chunks sharded over
+    the mesh's data axis: each device scans its slice of the gap-packed
+    stream — a single long contig shards with exact 2(W-1)-window halo
+    overlap (SURVEY.md section 5's long-context rule) — and one integer
+    psum replicates the mirrored table for the table-local phases.
+
+    Returns (counts_dev replicated resident, vals_u16, max_c, ltot,
+    suspicious [m_pad], stream, layout).
+    """
+    from ..ops.counting import _unpack_codes, pack_codes  # noqa: PLC0415
+    from ..ops.stream_count import (  # noqa: PLC0415
+        build_stream, chunk_rows, stream_compact, stream_local_counts,
+    )
+
+    n_shards = mesh.devices.size
+    stream, lay = build_stream(sequences, length, flat_codes=flat_codes)
+    m_pad = -(-lay.m_pad // n_shards) * n_shards
+    lay = lay._replace(m_pad=m_pad)
+    rows = chunk_rows(stream, lay)
+    packed = pack_codes(rows)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(), P(), P(), P(), P("data")),
+    )
+    def shard_count(shard_buf):
+        codes = _unpack_codes(shard_buf, lay.row)
+        local, local_ltot, susp = stream_local_counts(
+            codes, lay.ctx, length, both_strands)
+        counts = jax.lax.psum(local, "data")
+        ltot = jax.lax.psum(local_ltot, "data")
+        counts, vals, max_c = stream_compact(counts, length, both_strands)
+        return counts, vals, max_c, ltot, susp
+
+    arr = jax.device_put(
+        jnp.asarray(packed), NamedSharding(mesh, P("data", None)))
+    counts_dev, vals, max_c, ltot, susp = jax.jit(shard_count)(arr)
+    return counts_dev, vals, max_c, ltot, susp, stream, lay
+
+
 def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
     from ..ops.counting import _n_canonical, _unpack_codes  # noqa: PLC0415
 

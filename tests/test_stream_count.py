@@ -147,3 +147,50 @@ def test_layout_geometry():
     np.testing.assert_array_equal(rows[c], np.pad(
         stream, (lay2.ctx, 10 * lay2.row))[lo + lay2.ctx : lo + lay2.ctx
                                            + lay2.row])
+
+
+def test_long_contig_sharded_mesh():
+    """A single contig sharded across the virtual 8-device mesh: the
+    chunks carry exact 2(W-1)-window halos over the shard boundaries
+    (SURVEY section 5's long-context rule)."""
+    import jax
+    from jax.sharding import Mesh
+    from peng_motif_tpu.parallel.sharded import stream_count_sharded
+    from peng_motif_tpu.ops.stream_count import stream_fixup_pairs
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(1, 5, size=60_000).astype(np.uint8)
+    s[rng.random(60_000) < 0.01] = 0
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    W, both = 8, True
+    counts_dev, vals, max_c, ltot, susp, stream, lay = stream_count_sharded(
+        [s], W, both, mesh)
+    from peng_motif_tpu.ops.counting import _np_canonical_mask_flat
+    vals_np, susp_np, ltot = (np.asarray(vals), np.asarray(susp), int(ltot))
+    got = np.zeros(4 ** W, dtype=np.int64)
+    canon = np.flatnonzero(_np_canonical_mask_flat(W))
+    got[canon] = vals_np
+    from peng_motif_tpu.ops.counting import _np_revcomp_id
+    rcs = np.array([_np_revcomp_id(int(i), W) for i in canon])
+    got[rcs] = vals_np
+    ids, dvs, ltot_d = stream_fixup_pairs(stream, lay, susp_np, both)
+    np.add.at(got, ids, dvs)
+    want, want_ltot = _oracle([s], W, both)
+    full = np.zeros(4 ** W, dtype=np.int64)
+    for k, v in want.items():
+        full[k] += v
+        rk = _np_revcomp_id(k, W)
+        if rk != k:
+            full[rk] += v
+    np.testing.assert_array_equal(got, full)
+    assert ltot + ltot_d == want_ltot
+    # resident replicated table matches too
+    np.testing.assert_array_equal(
+        np.asarray(counts_dev) + np.zeros(1, np.int64), got - _apply_ids(
+            ids, dvs, W))
+
+
+def _apply_ids(ids, dvs, W):
+    d = np.zeros(4 ** W, dtype=np.int64)
+    np.add.at(d, ids, dvs)
+    return d
