@@ -120,6 +120,9 @@ HELP = """
       --save-checkpoint <DIR>  persist count table + background model
       --load-checkpoint <DIR>  resume from a persisted count table
       --timing                 print per-phase wall-clock timings
+      --num-processes <N>      multi-host run: total process count
+      --process-id <I>         this process's rank (0 writes output)
+      --coordinator <H:P>      jax.distributed coordinator address
 
 =================================================================
 """
@@ -180,6 +183,9 @@ def parse_args(argv):
         "save_checkpoint": None,
         "load_checkpoint": None,
         "timing": False,
+        "num_processes": 1,
+        "process_id": 0,
+        "coordinator": "localhost:29500",
     }
 
     i = 2
@@ -282,6 +288,12 @@ def parse_args(argv):
             cfg["load_checkpoint"] = _need_value(argv, i, arg); i += 1
         elif arg == "--timing":
             cfg["timing"] = True
+        elif arg == "--num-processes":
+            cfg["num_processes"] = int(_need_value(argv, i, arg)); i += 1
+        elif arg == "--process-id":
+            cfg["process_id"] = int(_need_value(argv, i, arg)); i += 1
+        elif arg == "--coordinator":
+            cfg["coordinator"] = _need_value(argv, i, arg); i += 1
         else:
             print(f"Ignoring unknown option {arg}", file=sys.stderr)
         i += 1
@@ -321,14 +333,29 @@ def main(argv=None):
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
+    multihost = cfg["num_processes"] > 1
+    if multihost:
+        from .parallel.multihost import init_multihost  # noqa: PLC0415
+
+        init_multihost(cfg["coordinator"], cfg["num_processes"],
+                       cfg["process_id"])
+
     mesh = None
-    if cfg["devices"]:
+    if cfg["devices"] and not multihost:
         from .parallel.mesh import make_data_mesh  # noqa: PLC0415
 
         mesh = make_data_mesh(cfg["devices"])
 
     bg_model_order = max(cfg["bg_model_order"], cfg["max_opt_bg_model_order"])
-    if mesh is not None:
+    if multihost:
+        # background (k+1)-mer vectors all-reduced over DCN
+        from .parallel.multihost import multihost_bg_counts  # noqa: PLC0415
+
+        bg_model = BackgroundModel(
+            counts=multihost_bg_counts(bg_set.sequences, bg_model_order),
+            order=bg_model_order, interpolate=True,
+        )
+    elif mesh is not None:
         # sharded (k+1)-mer scan + psum over the mesh
         # (reference serial analogue: src/shared/BackgroundModel.cpp:59-84)
         from .parallel.sharded import count_bg_kmers_sharded  # noqa: PLC0415
@@ -348,6 +375,21 @@ def main(argv=None):
             bg_set.sequences, order=bg_model_order, interpolate=True,
             lazy=True,
         )
+
+    precomputed = None
+    if multihost:
+        # the one corpus-wide phase: sharded stream counting, psum'd
+        # across all hosts; every process gets the identical table
+        from .parallel.multihost import (  # noqa: PLC0415
+            multihost_stream_counts)
+
+        precomputed = multihost_stream_counts(
+            sequence_set.sequences, cfg["pattern_length"],
+            cfg["strand"] == Strand.BOTH_STRANDS,
+            flat_codes=getattr(sequence_set, "_flat_codes", None))
+        if cfg["process_id"] != 0:
+            # table-local phases and output are process 0's job
+            return 0
 
     peng = Peng(
         cfg["strand"], cfg["bg_model_order"], cfg["max_opt_bg_model_order"],
@@ -375,6 +417,7 @@ def main(argv=None):
         engine=cfg["engine"],
         save_checkpoint=cfg["save_checkpoint"],
         load_checkpoint=cfg["load_checkpoint"],
+        precomputed=precomputed,
         threads=cfg["threads"] if cfg["threads"] > 1 else 0,
     )
 

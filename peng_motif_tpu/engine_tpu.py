@@ -317,18 +317,22 @@ def process_tpu(peng, params) -> List[Motif]:
     # host copy, so the count dispatch ships a canonical-compacted u16
     # slice alongside the resident table) --------------------------------
     with peng.timer.phase("count"):
-        if params.load_checkpoint:
-            from .checkpoint import load_checkpoint  # noqa: PLC0415
+        if params.precomputed is not None or params.load_checkpoint:
+            if params.precomputed is not None:
+                # externally counted table (multi-host collectives,
+                # parallel/multihost.py): phases 2-4 run process-local
+                counts_host, ltot = params.precomputed
+            else:
+                from .checkpoint import load_checkpoint  # noqa: PLC0415
 
-            loaded = load_checkpoint(
-                params.load_checkpoint, W, peng.strand.name)
-            if loaded is None:
-                raise EngineFallback("no usable checkpoint")
-            counts_host, ltot, _bg = loaded
+                loaded = load_checkpoint(
+                    params.load_checkpoint, W, peng.strand.name)
+                if loaded is None:
+                    raise EngineFallback("no usable checkpoint")
+                counts_host, ltot, _bg = loaded
             counts_host = np.asarray(counts_host, dtype=np.int32)
             ltot = int(ltot)
             counts_dev = jnp.asarray(counts_host)
-            ltot_dev = jnp.int32(ltot)
             fix_ids = np.zeros(64, dtype=np.int32)
             fix_dv = np.zeros(64, dtype=np.int32)
             v = _bg_v()

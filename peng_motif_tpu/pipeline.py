@@ -81,6 +81,8 @@ class PengParameters:
     profile_dir: Optional[str] = None      # JAX profiler trace output
     save_checkpoint: Optional[str] = None  # persist count table + bg model
     load_checkpoint: Optional[str] = None  # resume from a persisted table
+    precomputed: Optional[tuple] = None    # (counts_np, ltot) from an
+    #                                        external count (multi-host)
     threads: int = 0                       # native-kernel threads (0 = auto)
     # engine selection: "tpu" = device-resident fast path (engine_tpu),
     # "exact" = byte-parity host/native path, "auto" = tpu when an
@@ -160,7 +162,7 @@ class Peng:
         current_k = min(W - 1, self.k)
         current_max_k = min(W - 1, self.max_k)
 
-        precomputed = None
+        precomputed = params.precomputed
         if params.load_checkpoint:
             from .checkpoint import load_checkpoint  # noqa: PLC0415
 
