@@ -56,9 +56,26 @@ from .models.motif import MIN_MERGE_OVERLAP, Motif
 from .ops import em as em_ops
 from .ops import flat_tables as ft
 from .ops.climb import WalkTrace, replay_walks, run_walks
-from .ops.counting import pack_codes
 
 F32 = np.float32
+
+
+def _subtimer():
+    """Fine-grained count-phase wall prints behind PENG_DEBUG_TIMING=1
+    (perf triage on tunneled backends, where per-fetch stalls hide
+    inside one coarse phase)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    if not _os.environ.get("PENG_DEBUG_TIMING"):
+        return lambda _msg: None
+    t0 = _time.perf_counter()
+
+    def mark(msg):
+        print("[SUBTIMING] %8.3fs  %s" % (_time.perf_counter() - t0, msg),
+              file=_sys.stderr, flush=True)
+    return mark
 
 
 class EngineFallback(Exception):
@@ -316,6 +333,7 @@ def process_tpu(peng, params) -> List[Motif]:
     # placement, reference: src/base_pattern.cpp:443-458; that needs a
     # host copy, so the count dispatch ships a canonical-compacted u16
     # slice alongside the resident table) --------------------------------
+    mark = _subtimer()
     with peng.timer.phase("count"):
         if params.precomputed is not None or params.load_checkpoint:
             if params.precomputed is not None:
@@ -352,29 +370,45 @@ def process_tpu(peng, params) -> List[Motif]:
             else:
                 # stream layout: ragged-exact, long-contig halo chunks,
                 # shape-stable compiles (ops/stream_count.py)
+                from .ops.counting import _n_canonical  # noqa: PLC0415
                 from .ops.stream_count import (  # noqa: PLC0415
-                    build_stream, chunk_rows, stream_count_device)
+                    build_stream, chunked_packed, split_fetch_blob,
+                    stream_count_device_fused)
 
+                mark("start")
                 stream, lay = build_stream(
                     sset.sequences, W,
                     flat_codes=getattr(sset, "_flat_codes", None))
-                rows = chunk_rows(stream, lay)
-                buf = jnp.asarray(pack_codes(rows))
-                counts_dev, vals_u16, max_c, ltot_dev, susp_dev = (
-                    stream_count_device(buf, lay.row, lay.ctx, W, both))
-            v = _bg_v()  # overlaps the in-flight device count
-            vals, max_c, ltot, susp_np = jax.device_get(
-                (vals_u16, max_c, ltot_dev, susp_dev))
+                mark("build_stream")
+                # fused native chunk+pack; 1-D upload (a 2-D put pays
+                # a per-shape layout-program compile)
+                buf = jnp.asarray(chunked_packed(stream, lay))
+                mark("pack+h2d")
+                counts_dev, blob_dev = stream_count_device_fused(
+                    buf, lay.row, lay.ctx, W, both)
+                mark("count dispatch")
+                v = _bg_v()  # overlaps the in-flight device count
+                mark("bg model")
+                n_canon = _n_canonical(W) if both else 4 ** W
+                ltot, max_c, susp_np, vals = split_fetch_blob(
+                    jax.device_get(blob_dev), lay.m_pad, n_canon)
+                mark("blob fetch")
+            if params.mesh is not None:
+                v = _bg_v()  # overlaps the in-flight device count
+                vals, max_c, ltot, susp_np = jax.device_get(
+                    (vals_u16, max_c, ltot_dev, susp_dev))
             ltot = int(ltot)
             if int(max_c) > np.iinfo(np.uint16).max:
                 vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
             counts_host = _mirror_host(vals, W, both)
+            mark("mirror host")
             from .ops.stream_count import stream_fixup_pairs  # noqa: PLC0415
 
             fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
                 stream, lay, susp_np, both)
             ltot += ltot_delta
             np.add.at(counts_host, fix_ids, fix_dv)
+            mark("fixup")
 
         if ltot >= (1 << 24):
             # f32 aggregation sums would lose integer exactness
@@ -386,6 +420,7 @@ def process_tpu(peng, params) -> List[Motif]:
         st = stats_program(
             counts_dev, v, jnp.int32(ltot), jnp.asarray(fix_ids),
             jnp.asarray(fix_dv), W, current_k, current_max_k, both)
+        mark("stats dispatch")
 
         bgp_host = _host_bg_flat(peng.bg_model.v, W, current_k, both)
         expected_host, z_host = _host_base_stats(counts_host, bgp_host, ltot)
@@ -393,6 +428,7 @@ def process_tpu(peng, params) -> List[Motif]:
             z_host, counts_host, W, params.zscore_threshold,
             params.count_threshold, peng.strand == Strand.PLUS_STRAND,
             params.filter_neighbors)
+        mark("host stats+selection")
 
     if params.save_checkpoint:
         from .checkpoint import save_checkpoint  # noqa: PLC0415

@@ -213,6 +213,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.pack_codes_native.restype = None
+        lib.stream_fixup_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.stream_fixup_native.restype = ctypes.c_int64
+        lib.build_stream_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.build_stream_native.restype = None
+        lib.chunk_pack_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.chunk_pack_native.restype = None
         lib.bg_count_kmers.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
@@ -780,3 +802,79 @@ def parse_fasta_native(filepath: str, alphabet=None):
         np.zeros(4, dtype=np.float32)
     )
     return sset
+
+
+def stream_fixup_delta_native(
+    stream: np.ndarray, seq_starts: np.ndarray, seq_lens: np.ndarray,
+    susp_chunks: np.ndarray, w: int, row: int, core: int, ctx: int,
+    both: bool,
+):
+    """Native twin of ops.stream_count.stream_fixup_delta: returns
+    (ids int64 [n], dvs int32 [n], ltot_delta) or None without the
+    library (the Python twin then runs; same contract)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    seq_starts = np.ascontiguousarray(seq_starts, dtype=np.int64)
+    seq_lens = np.ascontiguousarray(seq_lens, dtype=np.int64)
+    susp_chunks = np.ascontiguousarray(susp_chunks, dtype=np.int64)
+    cap = 1 << 20
+    out_ids = np.empty(cap, dtype=np.int64)
+    out_dv = np.empty(cap, dtype=np.int32)
+    ltot_delta = ctypes.c_int64(0)
+    n = lib.stream_fixup_native(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(stream.shape[0]),
+        seq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(seq_starts.shape[0]),
+        susp_chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(susp_chunks.shape[0]),
+        ctypes.c_int64(w), ctypes.c_int64(row), ctypes.c_int64(core),
+        ctypes.c_int64(ctx), ctypes.c_int(1 if both else 0),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_dv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(cap), ctypes.byref(ltot_delta),
+    )
+    if n < 0:
+        return None
+    return out_ids[:n], out_dv[:n], int(ltot_delta.value)
+
+
+def build_stream_fill_native(flat: np.ndarray, lengths: np.ndarray,
+                             w: int, stream: np.ndarray) -> bool:
+    """Fill the gap-packed stream from the contiguous parse buffer
+    (threaded memcpy); False without the library."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    lib.build_stream_native(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(lengths.shape[0]), ctypes.c_int64(w),
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
+
+
+def chunk_pack_stream_native(stream: np.ndarray, m_pad: int, row: int,
+                             core: int, ctx: int) -> Optional[np.ndarray]:
+    """Packed 2-bit+Nmask chunk buffer straight from the stream (fused
+    chunk+pack, threaded); None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    nb = (row + 3) // 4 + (row + 7) // 8
+    out = np.empty(m_pad * nb, dtype=np.uint8)
+    lib.chunk_pack_native(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(stream.shape[0]),
+        ctypes.c_int64(m_pad), ctypes.c_int64(row), ctypes.c_int64(core),
+        ctypes.c_int64(ctx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

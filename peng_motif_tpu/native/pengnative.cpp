@@ -1472,3 +1472,241 @@ extern "C" void em_optimize_batch(float* pwms, const float* counts,
   for (int t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
   for (auto& th : threads) th.join();
 }
+
+// --------------------------------------------------------------------------
+// Stream fix-up (ops/stream_count.py stream_fixup_delta, native twin).
+//
+// For every sequence touched by a suspicious chunk, replay the chunked
+// device decisions (zero-padded skip-chain heads + in-chunk W-1-shift
+// blocking + core mask) and the exact greedy scan (reference automaton,
+// src/base_pattern.cpp:331-393), and emit the sparse count delta plus
+// the processed-window (ltot) correction.  The Python twin walks every
+// window of every affected sequence in interpreter loops (~10 ms per
+// suspicious chunk); repeats in real genomes make suspicion common, so
+// this path must be cheap.
+// --------------------------------------------------------------------------
+
+namespace {
+
+struct StreamChunkDec {
+  std::vector<int64_t> cid;    // per window; -1 = unprocessed
+  std::vector<uint8_t> counted;
+};
+
+void stream_chunk_decisions(const uint8_t* stream, int64_t stream_len,
+                            int64_t c, int64_t w, int64_t row, int64_t core,
+                            int64_t ctx, int both, StreamChunkDec& out) {
+  const int64_t n_win = row - w + 1;
+  std::vector<uint8_t> buf(row, 0);
+  const int64_t lo = c * core - ctx;
+  const int64_t s0 = std::max<int64_t>(lo, 0);
+  const int64_t s1 = std::min<int64_t>(lo + row, stream_len);
+  if (s1 > s0) memcpy(buf.data() + (s0 - lo), stream + s0, (size_t)(s1 - s0));
+  out.cid.assign(n_win, -1);
+  out.counted.assign(n_win, 0);
+  std::vector<uint8_t> validv(n_win, 0);
+  for (int64_t j = 0; j < n_win; j++) {
+    int64_t fwd = 0, rc = 0;
+    bool valid = true;
+    for (int64_t p = 0; p < w; p++) {
+      const int cc = buf[j + p];
+      if (cc == 0) { valid = false; break; }
+      fwd += (int64_t)(cc - 1) << (2 * p);
+      rc += (int64_t)(4 - cc) << (2 * (w - 1 - p));
+    }
+    validv[j] = valid;
+    out.cid[j] = valid ? (both ? std::min(fwd, rc) : fwd) : -1;
+  }
+  // zero-padded skip-chain heads: exactly the device's chunked
+  // recurrence (skip[s] = 0 for s < d), NOT the true stream history —
+  // that difference is what the seam-ambiguity flag certifies
+  const int64_t d = w + 1;
+  std::vector<uint8_t> skip(n_win, 0);
+  for (int64_t s = d; s < n_win; s++) {
+    const bool a = (buf[s - 1] == 0) && validv[s - d];
+    skip[s] = a && !skip[s - d];
+  }
+  for (int64_t s = 0; s < n_win; s++)
+    if (skip[s]) out.cid[s] = -1;
+  for (int64_t j = 0; j < n_win; j++) {
+    if (out.cid[j] < 0 || j < ctx) continue;
+    bool blocked = false;
+    const int64_t dmax = std::min(w - 1, j);
+    for (int64_t dd = 1; dd <= dmax; dd++)
+      if (out.cid[j - dd] == out.cid[j]) { blocked = true; break; }
+    out.counted[j] = !blocked;
+  }
+}
+
+}  // namespace
+
+// Returns the number of (id, dv) pairs written, or -1 if cap_out would
+// be exceeded (caller falls back to the Python twin).
+extern "C" int64_t stream_fixup_native(
+    const uint8_t* stream, int64_t stream_len,
+    const int64_t* seq_starts, const int64_t* seq_lens, int64_t n_seq,
+    const int64_t* susp_chunks, int64_t n_susp,
+    int64_t w, int64_t row, int64_t core, int64_t ctx, int both,
+    int64_t* out_ids, int32_t* out_dv, int64_t cap_out,
+    int64_t* ltot_delta_out) {
+  *ltot_delta_out = 0;
+  if (n_susp == 0 || n_seq == 0) return 0;
+  std::vector<int64_t> seq_ends(n_seq);
+  for (int64_t k = 0; k < n_seq; k++) seq_ends[k] = seq_starts[k] + seq_lens[k];
+
+  // sequences overlapping a suspicious chunk's influence region
+  std::vector<int64_t> affected;
+  for (int64_t i = 0; i < n_susp; i++) {
+    const int64_t c = susp_chunks[i];
+    const int64_t lo = c * core - ctx;
+    const int64_t hi = c * core + core + w - 1;
+    const int64_t i0 =
+        std::upper_bound(seq_ends.begin(), seq_ends.end(), lo) -
+        seq_ends.begin();
+    const int64_t i1 =
+        std::lower_bound(seq_starts, seq_starts + n_seq, hi) - seq_starts;
+    for (int64_t k = i0; k < i1; k++) affected.push_back(k);
+  }
+  std::sort(affected.begin(), affected.end());
+  affected.erase(std::unique(affected.begin(), affected.end()),
+                 affected.end());
+
+  std::unordered_map<int64_t, StreamChunkDec> chunk_cache;
+  std::unordered_map<int64_t, int64_t> delta;
+  int64_t ltot_delta = 0;
+  std::vector<int64_t> cid;
+  std::vector<uint8_t> exact;
+  for (int64_t k : affected) {
+    const int64_t st = seq_starts[k];
+    const int64_t ln = seq_lens[k];
+    if (ln < w) continue;
+    const uint8_t* seq = stream + st;
+    const int64_t n_win = ln - w + 1;
+    // exact scan of the fresh sequence (reference automaton)
+    cid.assign(n_win, -1);
+    std::vector<uint8_t> validv(n_win, 0);
+    for (int64_t j = 0; j < n_win; j++) {
+      int64_t fwd = 0, rc = 0;
+      bool valid = true;
+      for (int64_t p = 0; p < w; p++) {
+        const int cc = seq[j + p];
+        if (cc == 0) { valid = false; break; }
+        fwd += (int64_t)(cc - 1) << (2 * p);
+        rc += (int64_t)(4 - cc) << (2 * (w - 1 - p));
+      }
+      validv[j] = valid;
+      cid[j] = valid ? (both ? std::min(fwd, rc) : fwd) : -1;
+    }
+    {
+      const int64_t d = w + 1;
+      std::vector<uint8_t> skip(n_win, 0);
+      for (int64_t s = d; s < n_win; s++) {
+        skip[s] = (seq[s - 1] == 0) && validv[s - d] && !skip[s - d];
+      }
+      for (int64_t s = 0; s < n_win; s++)
+        if (skip[s]) cid[s] = -1;
+    }
+    exact.assign(n_win, 0);
+    {
+      struct Slot { int64_t id; int64_t pos; };
+      size_t cap = 1;
+      while (cap < (size_t)n_win * 2) cap <<= 1;
+      std::vector<Slot> map(cap, {-1, -1});
+      for (int64_t j = 0; j < n_win; j++) {
+        const int64_t id = cid[j];
+        if (id < 0) continue;
+        size_t h = ((uint64_t)id * 0x9E3779B97F4A7C15ull) & (cap - 1);
+        while (map[h].id != -1 && map[h].id != id) h = (h + 1) & (cap - 1);
+        if (map[h].id == -1 || j - map[h].pos >= w) {
+          exact[j] = 1;
+          map[h].id = id;
+          map[h].pos = j;
+        }
+      }
+    }
+    // compare against the device's chunked decisions
+    for (int64_t j = 0; j < n_win; j++) {
+      const int64_t s = st + j;
+      const int64_t c = s / core;
+      const int64_t local = s - c * core + ctx;
+      auto it = chunk_cache.find(c);
+      if (it == chunk_cache.end()) {
+        it = chunk_cache.emplace(c, StreamChunkDec{}).first;
+        stream_chunk_decisions(stream, stream_len, c, w, row, core, ctx,
+                               both, it->second);
+      }
+      const StreamChunkDec& dec = it->second;
+      const int dv = (int)exact[j] - (int)dec.counted[local];
+      if (dv != 0) {
+        const int64_t id = cid[j] >= 0 ? cid[j] : dec.cid[local];
+        delta[id] += dv;
+      }
+      ltot_delta += (int64_t)(cid[j] >= 0) - (int64_t)(dec.cid[local] >= 0);
+    }
+  }
+  *ltot_delta_out = ltot_delta;
+  int64_t n_out = 0;
+  for (const auto& kv : delta) {
+    if (kv.second == 0) continue;
+    if (n_out >= cap_out) return -1;
+    out_ids[n_out] = kv.first;
+    out_dv[n_out] = (int32_t)kv.second;
+    n_out++;
+  }
+  return n_out;
+}
+
+// --------------------------------------------------------------------------
+// Stream build + chunk + pack, fused (ops/stream_count.py layout).
+//
+// The Python path materializes three 50 MB+ intermediates per corpus
+// (gap-padded stream, strided [m_pad, row] chunk matrix, packed
+// buffer); the numpy fancy-index fill alone costs seconds at 50 Mbases.
+// One threaded pass builds the gap-packed stream, and a second
+// produces the packed 2-bit+Nmask chunk buffer directly from it.
+// --------------------------------------------------------------------------
+
+extern "C" void build_stream_native(
+    const uint8_t* flat, const int64_t* lengths, int64_t n_seq,
+    int64_t w, uint8_t* stream /* [sum(lengths) + w*(n_seq-1)] zeroed */) {
+  std::vector<int64_t> seq_starts(n_seq), offs(n_seq);
+  int64_t off = 0, st = 0;
+  for (int64_t k = 0; k < n_seq; k++) {
+    seq_starts[k] = st;
+    offs[k] = off;
+    off += lengths[k];
+    st += lengths[k] + w;
+  }
+  parallel_ranges(n_seq, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; k++)
+      memcpy(stream + seq_starts[k], flat + offs[k], (size_t)lengths[k]);
+  });
+}
+
+extern "C" void chunk_pack_native(
+    const uint8_t* stream, int64_t stream_len,
+    int64_t m_pad, int64_t row, int64_t core, int64_t ctx,
+    uint8_t* out /* [m_pad * (ceil(row/4)+ceil(row/8))] */) {
+  const int64_t c4 = (row + 3) / 4;
+  const int64_t c8 = (row + 7) / 8;
+  const int64_t stride = c4 + c8;
+  parallel_ranges(m_pad, [&](int64_t lo_r, int64_t hi_r) {
+    std::vector<uint8_t> buf(row);
+    for (int64_t c = lo_r; c < hi_r; c++) {
+      const int64_t lo = c * core - ctx;
+      const int64_t s0 = std::max<int64_t>(lo, 0);
+      const int64_t s1 = std::min<int64_t>(lo + row, stream_len);
+      memset(buf.data(), 0, (size_t)row);
+      if (s1 > s0) memcpy(buf.data() + (s0 - lo), stream + s0,
+                          (size_t)(s1 - s0));
+      uint8_t* base2 = out + c * stride;
+      uint8_t* nbits = base2 + c4;
+      memset(base2, 0, (size_t)stride);
+      for (int64_t j = 0; j < row; j++) {
+        const uint8_t cc = buf[j];
+        base2[j >> 2] |= (uint8_t)(((cc - 1) & 3) << ((j & 3) * 2));
+        if (cc == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
+      }
+    }
+  });
+}

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import encoding
+from .pallas_hist import histogram
 
 
 def _host_count_max_bases() -> int:
@@ -124,7 +125,7 @@ def _count_device(codes: jax.Array, length: int, both_strands: bool):
 
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
 
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
@@ -191,6 +192,11 @@ def _unpack_codes(buf: jax.Array, length: int):
     return jnp.where(nm == 1, 0, c.astype(jnp.int32) + 1)
 
 
+def _packed_nbytes(seq_len: int) -> int:
+    """Packed bytes per row (2-bit codes + 1-bit N mask)."""
+    return (seq_len + 3) // 4 + (seq_len + 7) // 8
+
+
 @functools.partial(
     jax.jit, static_argnames=("seq_len", "length", "both_strands"))
 def _count_device_packed(buf, seq_len: int, length: int,
@@ -201,6 +207,9 @@ def _count_device_packed(buf, seq_len: int, length: int,
     uint16 + a max-count scalar for overflow fallback); the mirror step
     (reference: src/base_pattern.cpp:386-392) runs on host.
     """
+    if buf.ndim == 1:
+        # 1-D upload: a 2-D put pays a per-shape layout-program compile
+        buf = buf.reshape(-1, _packed_nbytes(seq_len))
     codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
     valid = valid & ~scan_skip_mask(codes, valid, length)
@@ -211,7 +220,7 @@ def _count_device_packed(buf, seq_len: int, length: int,
 
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
     ltot = valid.astype(jnp.int32).sum()
 
     if both_strands:
@@ -229,6 +238,8 @@ def _count_device_packed(buf, seq_len: int, length: int,
 def _count_device_packed_i32(buf, seq_len: int, length: int,
                              both_strands: bool):
     """Overflow fallback: same program, int32 canonical values."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, _packed_nbytes(seq_len))
     codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
     valid = valid & ~scan_skip_mask(codes, valid, length)
@@ -237,7 +248,7 @@ def _count_device_packed_i32(buf, seq_len: int, length: int,
     counted, _ = naive_dedup(cids, length)
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
@@ -258,6 +269,8 @@ def count_device_full(buf, seq_len: int, length: int, both_strands: bool):
     Returns (counts [4**W] int32 mirrored+resident, compact uint16,
     max_count, ltot int32, suspicious [B]).
     """
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, _packed_nbytes(seq_len))
     codes = _unpack_codes(buf, seq_len)
     fwd, rc, valid = encoding.window_ids(codes, length)
     valid = valid & ~scan_skip_mask(codes, valid, length)
@@ -266,7 +279,7 @@ def count_device_full(buf, seq_len: int, length: int, both_strands: bool):
     counted, suspicious = naive_dedup(cids, length)
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
@@ -368,7 +381,7 @@ class CountJob:
                     target=_run, daemon=True)
                 self._host_thread.start()
                 return
-        self._buf_dev = jnp.asarray(pack_codes(self._codes_np))
+        self._buf_dev = jnp.asarray(pack_codes(self._codes_np).reshape(-1))
         self._vals, self._max, self._ltot, self._susp = _count_device_packed(
             self._buf_dev, self._seq_len, length, both_strands)
 

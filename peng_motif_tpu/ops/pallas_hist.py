@@ -1,0 +1,137 @@
+"""MXU histogram: the counting scatter, recast as one-hot matmuls.
+
+The count-table build is a ~50M-update integer histogram into 4**W
+bins (reference inner loop: src/base_pattern.cpp:331-393 incrementing
+``pattern_counter_``).  XLA:TPU lowers ``zeros.at[ids].add(inc)`` to a
+serialized scatter — measured 0.48 s for 53.8M windows on a v5e, ~90%
+of the whole count program.  The VPU has no vector scatter, but the
+MXU can compute the same reduction as a matmul:
+
+    id = hi * 128 + lo             (bins = nhi * 128, lane-aligned)
+    counts[hi, lo] = sum_w onehot(hi_w)[hi] * onehot(lo_w)[lo]
+                   = onehot_hi^T @ onehot_lo
+
+Per grid step a [B]-window block builds both one-hots *transposed* —
+bins on the sublane axis (``broadcasted_iota`` dim 0), window ids
+broadcast along lanes — so no per-element relayout is needed (the
+naive [B, nbins] orientation forces a lane->sublane transpose of the
+ids and is ~100x slower), then issues one [nhi, B] x_T [128, B] int8
+matmul accumulating into a VMEM-resident [nhi, 128] int32 table.  The
+only HBM traffic is the ids themselves.  Measured 0.053 s for 53.8M
+windows at W=8 (9x the XLA scatter), 0.41 s at W=10.
+
+Masking: instead of an in-kernel predicate (Mosaic rejects the bool
+broadcast), uncounted windows are routed to a trash bin — one extra
+``hi`` row sliced off after the kernel.
+
+Exactness: one-hots are 0/1 int8, products accumulate in int32
+(``preferred_element_type``), so every bin is exact below 2**31 —
+the same bound as the int32 scatter it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU/GPU-only at runtime; gate use via use_mxu_histogram
+    from jax.experimental import pallas as pl
+except Exception:  # pragma: no cover - pallas ships with jax
+    pl = None
+
+# lane width of the TPU vector unit: the lo axis of the bin split
+_LANES = 128
+# largest supported table: 4**10 (w10).  Beyond that the accumulator
+# ([nhi, 128] int32) and the hi one-hot outgrow the ~16 MB VMEM and the
+# XLA scatter path takes over.
+_MAX_BINS = 1 << 20
+
+
+def histogram_supported(n_bins: int) -> bool:
+    return n_bins % _LANES == 0 and n_bins <= _MAX_BINS
+
+
+def _block_for(n_bins: int) -> int:
+    """Window block size: measured optimum 4096 while the int8 hi
+    one-hot ([nhi+1, block]) stays small, 1024 at the w10 table size
+    (VMEM: one-hot 8.4 MB + int32 accumulator 4.2 MB)."""
+    return 4096 if n_bins <= (1 << 16) else 1024
+
+
+def _hist_kernel(ids_ref, out_ref, *, nhi: int, block: int):
+    g = pl.program_id(0)
+    ids = ids_ref[0, 0, :]                               # [block] lanes
+    # int32 divisor: the package enables jax_enable_x64 (C++ double-
+    # promotion parity in the score math), under which a bare Python
+    # 128 promotes the div to int64 — and Mosaic's int64->int32
+    # conversion lowering recurses forever
+    hi = ids // jnp.int32(_LANES)
+    lo = ids % jnp.int32(_LANES)
+    h_t = (jax.lax.broadcasted_iota(jnp.int32, (nhi, block), 0)
+           == hi[None, :]).astype(jnp.int8)
+    l_t = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, block), 0)
+           == lo[None, :]).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        h_t, l_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # [nhi, 128]
+
+    @pl.when(g == jnp.int32(0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def mxu_histogram(flat_ids, flat_inc, n_bins: int):
+    """counts [n_bins] int32 = scatter-add of ``flat_inc`` (0/1) at
+    ``flat_ids`` (callers guarantee :func:`histogram_supported`)."""
+    block = _block_for(n_bins)
+    # trash bin: first slot of the extra hi row.  Everything pinned to
+    # int32: under the package's jax_enable_x64 a bare Python constant
+    # would promote to int64, which Mosaic cannot lower.
+    ids = jnp.where(
+        flat_inc != 0, flat_ids.astype(jnp.int32), jnp.int32(n_bins))
+    n = ids.shape[0]
+    pad = (-n) % block
+    if pad:
+        ids = jnp.pad(ids, (0, pad), constant_values=n_bins)
+    ids = ids.astype(jnp.int32)
+    g = (n + pad) // block
+    nhi = n_bins // _LANES + 1
+    # Mosaic lowering is sensitive to the global x64 flag (the package
+    # enables it for C++ double-promotion parity): under x64 the
+    # generated module trips the TPU compiler.  Every value here is
+    # explicit int32, so tracing the kernel in 32-bit mode is lossless.
+    from jax._src.config import enable_x64  # noqa: PLC0415
+
+    with enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_hist_kernel, nhi=nhi, block=block),
+            grid=(g,),
+            in_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((nhi, _LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nhi, _LANES), jnp.int32),
+        )(ids.reshape(g, 1, block))
+    return out.reshape(-1)[:n_bins]
+
+
+def use_mxu_histogram() -> bool:
+    """MXU path only on a real TPU backend (interpret-mode pallas on
+    CPU is orders of magnitude slower than the XLA scatter)."""
+    if pl is None:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def histogram(flat_ids, flat_inc, n_bins: int):
+    """Dispatch: MXU one-hot-matmul histogram on TPU when the table
+    fits VMEM, XLA scatter-add otherwise (CPU, giant tables)."""
+    if use_mxu_histogram() and histogram_supported(n_bins):
+        return mxu_histogram(flat_ids, flat_inc, n_bins)
+    return jnp.zeros(n_bins, dtype=jnp.int32).at[flat_ids].add(
+        flat_inc.astype(jnp.int32))

@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import encoding
+from .pallas_hist import histogram
 from .counting import (
     _n_canonical,
     _np_revcomp_id,
@@ -111,19 +112,35 @@ def build_stream(sequences: Sequence[np.ndarray], W: int,
                  flat_codes: np.ndarray | None = None,
                  row: int = ROW) -> tuple[np.ndarray, StreamLayout]:
     """Concatenate sequences with W-zero gaps.  ``flat_codes`` (the
-    contiguous parse buffer) enables a vectorized fill."""
+    contiguous parse buffer) enables a threaded native fill; the
+    fallback is a per-sequence slice-copy loop (memcpy per row — a
+    single fancy-index scatter is ~100x slower at 50 Mbases)."""
     lengths = np.asarray([len(s) for s in sequences], dtype=np.int64)
     lay = make_layout(lengths, W, row)
     stream = np.zeros(lay.stream_len, dtype=np.uint8)
     if flat_codes is not None and flat_codes.shape[0] == int(lengths.sum()):
-        seq_idx = np.repeat(
-            np.arange(lengths.shape[0], dtype=np.int64), lengths)
-        dst = np.arange(flat_codes.shape[0], dtype=np.int64) + W * seq_idx
-        stream[dst] = flat_codes
-    else:
-        for st, s in zip(lay.seq_starts, sequences):
-            stream[st : st + len(s)] = np.asarray(s, dtype=np.uint8)
+        from ..native import build_stream_fill_native  # noqa: PLC0415
+
+        if build_stream_fill_native(flat_codes, lengths, W, stream):
+            return stream, lay
+    for st, s in zip(lay.seq_starts, sequences):
+        stream[st : st + len(s)] = np.asarray(s, dtype=np.uint8)
     return stream, lay
+
+
+def chunked_packed(stream: np.ndarray, lay: StreamLayout) -> np.ndarray:
+    """Flat packed chunk buffer [m_pad * row_nbytes(row)] uint8, ready
+    for the 1-D upload: fused native chunk+pack (one threaded pass, no
+    [m_pad, row] intermediate); Python twin as fallback."""
+    from ..native import chunk_pack_stream_native  # noqa: PLC0415
+
+    out = chunk_pack_stream_native(
+        stream, lay.m_pad, lay.row, lay.core, lay.ctx)
+    if out is not None:
+        return out
+    from .counting import pack_codes  # noqa: PLC0415
+
+    return pack_codes(chunk_rows(stream, lay)).reshape(-1)
 
 
 def chunk_rows(stream: np.ndarray, lay: StreamLayout) -> np.ndarray:
@@ -188,8 +205,7 @@ def stream_local_counts(codes: jax.Array, ctx: int, length: int,
     counted = counted & core[None, :]
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(
-        flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
     ltot = (processed & core[None, :]).astype(jnp.int32).sum()
     return counts, ltot, susp | ambiguous
 
@@ -207,6 +223,11 @@ def stream_compact(counts: jax.Array, length: int, both_strands: bool):
     return counts, vals.astype(jnp.uint16), vals.max()
 
 
+def row_nbytes(row: int) -> int:
+    """Packed bytes per chunk row (2-bit codes + 1-bit N mask)."""
+    return (row + 3) // 4 + (row + 7) // 8
+
+
 @functools.partial(
     jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
 def stream_count_device(buf, row: int, ctx: int, length: int,
@@ -214,12 +235,65 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
     """Counting over the chunked stream.  Returns (counts resident
     [4**W] int32 mirrored, vals compact u16, max_count, ltot,
     suspicious [m_pad]) — the count_device_full contract on the stream
-    layout."""
+    layout.
+
+    ``buf`` may be the flat 1-D packed buffer: callers upload 1-D and
+    the jitted program reshapes on device, because a 2-D host->device
+    put pays a per-shape layout-program compile (~10 s for a 100k-chunk
+    corpus on the tunneled backend) that the 1-D put does not."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, row_nbytes(row))
     codes = _unpack_codes(buf, row)
     counts, ltot, suspicious = stream_local_counts(
         codes, ctx, length, both_strands)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, vals, max_c, ltot, suspicious
+
+
+def _pack_fetch_blob(vals_u16, max_c, ltot, susp):
+    """One uint32 vector holding every non-resident output: [ltot,
+    max_count, susp bitpacked (32 chunks/word), vals (2 u16/word)].
+    The tunneled backend pays a full round trip *per fetched array*
+    (~0.2-1 s each); one blob makes the post-count sync a single fetch."""
+    m = susp.shape[0]
+    m32 = -(-m // 32) * 32
+    sp = jnp.pad(susp.astype(jnp.uint32), (0, m32 - m)).reshape(-1, 32)
+    susp_words = (sp << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+    nv = vals_u16.shape[0]
+    vp = jnp.pad(vals_u16.astype(jnp.uint32), (0, nv % 2))
+    vals_words = vp[0::2] | (vp[1::2] << 16)
+    head = jnp.stack([ltot.astype(jnp.uint32), max_c.astype(jnp.uint32)])
+    return jnp.concatenate([head, susp_words, vals_words])
+
+
+def split_fetch_blob(blob_np: np.ndarray, m: int, n_canonical: int):
+    """Host inverse of :func:`_pack_fetch_blob`: (ltot, max_count,
+    susp bool [m], vals uint16 [n_canonical])."""
+    blob_np = np.ascontiguousarray(blob_np, dtype=np.uint32)
+    ltot, max_c = int(blob_np[0]), int(blob_np[1])
+    nw = -(-m // 32)
+    susp = np.unpackbits(
+        blob_np[2 : 2 + nw].view(np.uint8), bitorder="little")[:m].astype(
+        bool)
+    vals = blob_np[2 + nw :].view(np.uint16)[:n_canonical]
+    return ltot, max_c, susp, vals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
+def stream_count_device_fused(buf, row: int, ctx: int, length: int,
+                              both_strands: bool):
+    """:func:`stream_count_device` with all non-resident outputs packed
+    into a single uint32 fetch blob (see :func:`_pack_fetch_blob`).
+    Returns (counts resident [4**W] int32 mirrored, blob uint32)."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, row_nbytes(row))
+    codes = _unpack_codes(buf, row)
+    counts, ltot, suspicious = stream_local_counts(
+        codes, ctx, length, both_strands)
+    counts, vals, max_c = stream_compact(counts, length, both_strands)
+    return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious)
 
 
 # ---------------------------------------------------------------------------
@@ -351,8 +425,24 @@ def stream_fixup_pairs(stream: np.ndarray, lay: StreamLayout,
                        pad_to: int = 64):
     """(ids, deltas, ltot_delta) padded for a static-shape device
     scatter-add, with reverse-complement mirror ids included (the
-    fixup_delta_pairs contract of ops.counting)."""
-    delta, ltot_delta = stream_fixup_delta(stream, lay, susp, both)
+    fixup_delta_pairs contract of ops.counting).  Native fast path
+    (pengnative.cpp stream_fixup_native — the Python twin walks every
+    affected window in interpreter loops, ~10 ms per suspicious chunk,
+    and repeats make suspicion common in real genomes); Python twin
+    as fallback and test oracle."""
+    from ..native import stream_fixup_delta_native  # noqa: PLC0415
+
+    susp_chunks = np.flatnonzero(np.asarray(susp[: lay.m]))
+    native = None
+    if susp_chunks.size and lay.seq_starts.size:
+        native = stream_fixup_delta_native(
+            stream, lay.seq_starts, lay.lengths, susp_chunks,
+            lay.W, lay.row, lay.core, lay.ctx, both)
+    if native is not None:
+        ids_arr, dv_arr, ltot_delta = native
+        delta = dict(zip(ids_arr.tolist(), dv_arr.tolist()))
+    else:
+        delta, ltot_delta = stream_fixup_delta(stream, lay, susp, both)
     ids, dvs = [], []
     for cid, dv in delta.items():
         ids.append(cid)
@@ -389,8 +479,7 @@ class StreamCountJob:
         self._empty = self._lay.n_windows <= 0
         if self._empty:
             return
-        rows = chunk_rows(self._stream, self._lay)
-        self._buf = jnp.asarray(pack_codes(rows))
+        self._buf = jnp.asarray(chunked_packed(self._stream, self._lay))
         out = stream_count_device(
             self._buf, self._lay.row, self._lay.ctx, length, both_strands)
         self._counts_dev, self._vals, self._max, self._ltot, self._susp = out
@@ -434,6 +523,8 @@ class StreamCountJob:
 def _stream_counts_i32(buf, row: int, ctx: int, length: int,
                        both_strands: bool):
     """uint16-overflow refetch: canonical int32 values."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, row_nbytes(row))
     codes = _unpack_codes(buf, row)
     fwd, rc, valid = encoding.window_ids(codes, length)
     skip, _ = _skip_and_ambiguity(codes, valid, length)
@@ -445,8 +536,7 @@ def _stream_counts_i32(buf, row: int, ctx: int, length: int,
     counted = counted & core[None, :]
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(
-        flat_inc)
+    counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
         (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))

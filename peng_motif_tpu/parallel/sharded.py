@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import encoding
+from ..ops.pallas_hist import histogram
 from ..ops.counting import host_row_recount, naive_dedup
 
 
@@ -74,7 +75,7 @@ def count_patterns_sharded(
         counted, suspicious = naive_dedup(cids, length)
         flat_ids = jnp.where(counted, cids, 0).reshape(-1)
         flat_inc = counted.reshape(-1).astype(jnp.int32)
-        local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+        local = histogram(flat_ids, flat_inc, 4 ** length)
         local_ltot = valid.astype(jnp.int32).sum()
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")
@@ -156,8 +157,7 @@ def count_device_full_sharded(
         counted, suspicious = naive_dedup(cids, length)
         flat_ids = jnp.where(counted, cids, 0).reshape(-1)
         flat_inc = counted.reshape(-1).astype(jnp.int32)
-        local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(
-            flat_inc)
+        local = histogram(flat_ids, flat_inc, 4 ** length)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(valid.astype(jnp.int32).sum(), "data")
         if both_strands:
@@ -201,14 +201,19 @@ def stream_count_sharded(
     rows = chunk_rows(stream, lay)
     packed = pack_codes(rows)
 
+    nb = packed.shape[1]
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P("data", None),
+        in_specs=P("data"),
         out_specs=(P(), P(), P(), P(), P("data")),
     )
-    def shard_count(shard_buf):
-        codes = _unpack_codes(shard_buf, lay.row)
+    def shard_count(shard_flat):
+        # flat upload (chunk-aligned shards: m_pad % n_shards == 0); a
+        # 2-D put pays a per-shape layout-program compile the 1-D put
+        # does not
+        codes = _unpack_codes(shard_flat.reshape(-1, nb), lay.row)
         local, local_ltot, susp = stream_local_counts(
             codes, lay.ctx, length, both_strands)
         counts = jax.lax.psum(local, "data")
@@ -217,7 +222,7 @@ def stream_count_sharded(
         return counts, vals, max_c, ltot, susp
 
     arr = jax.device_put(
-        jnp.asarray(packed), NamedSharding(mesh, P("data", None)))
+        jnp.asarray(packed.reshape(-1)), NamedSharding(mesh, P("data")))
     counts_dev, vals, max_c, ltot, susp = jax.jit(shard_count)(arr)
     return counts_dev, vals, max_c, ltot, susp, stream, lay
 
@@ -238,7 +243,7 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
         counted, _ = naive_dedup(cids, length)
         flat_ids = jnp.where(counted, cids, 0).reshape(-1)
         flat_inc = counted.reshape(-1).astype(jnp.int32)
-        local = jnp.zeros(4 ** length, dtype=jnp.int32).at[flat_ids].add(flat_inc)
+        local = histogram(flat_ids, flat_inc, 4 ** length)
         counts = jax.lax.psum(local, "data")
         if both_strands:
             canon = encoding.canonical_mask_flat(length)

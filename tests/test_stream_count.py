@@ -194,3 +194,57 @@ def _apply_ids(ids, dvs, W):
     d = np.zeros(4 ** W, dtype=np.int64)
     np.add.at(d, ids, dvs)
     return d
+
+
+@pytest.mark.parametrize("both", [True, False], ids=["both", "plus"])
+def test_native_fixup_matches_python_twin(both):
+    """stream_fixup_native must reproduce the Python twin's sparse delta
+    and ltot correction on repeat/N-heavy adversarial streams (the twin
+    is the reference-semantics oracle; the native path is what runs)."""
+    from peng_motif_tpu.native import stream_fixup_delta_native
+    from peng_motif_tpu.ops.stream_count import stream_fixup_delta
+
+    if stream_fixup_delta_native(
+            np.zeros(1, np.uint8), np.zeros(1, np.int64),
+            np.zeros(1, np.int64), np.zeros(0, np.int64),
+            4, 64, 51, 6, both) is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    W = 8
+    seqs = []
+    for n in rng.integers(3, 2000, size=25):
+        s = rng.integers(1, 5, size=int(n)).astype(np.uint8)
+        s[rng.random(int(n)) < 0.05] = 0
+        # tandem repeats to force dedup suspicion across chunk seams
+        if int(n) > 40:
+            unit = rng.integers(1, 5, size=4).astype(np.uint8)
+            p = int(rng.integers(0, int(n) - 36))
+            s[p : p + 36] = np.tile(unit, 9)
+        seqs.append(s)
+    stream, lay = build_stream(seqs, W, row=128)
+    # mark every chunk suspicious: exercises the full replay path
+    susp = np.ones(lay.m_pad, dtype=bool)
+    want_delta, want_ltot = stream_fixup_delta(stream, lay, susp, both)
+    got = stream_fixup_delta_native(
+        stream, lay.seq_starts, lay.lengths,
+        np.flatnonzero(susp[: lay.m]), W, lay.row, lay.core, lay.ctx, both)
+    assert got is not None
+    ids, dvs, got_ltot = got
+    got_delta = {int(i): int(d) for i, d in zip(ids, dvs)}
+    assert got_delta == want_delta
+    assert got_ltot == want_ltot
+
+
+def test_chunked_packed_matches_python_twin():
+    """Fused native chunk+pack must equal pack_codes(chunk_rows(...))."""
+    from peng_motif_tpu.ops.counting import pack_codes
+    from peng_motif_tpu.ops.stream_count import chunked_packed
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(3, 3000, size=30)]
+    stream, lay = build_stream(seqs, 8, row=128)
+    want = pack_codes(chunk_rows(stream, lay)).reshape(-1)
+    got = chunked_packed(stream, lay)
+    np.testing.assert_array_equal(got, want)
