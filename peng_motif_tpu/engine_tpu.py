@@ -123,19 +123,22 @@ def _compact_counts_i32(counts, length: int, both: bool):
     return counts
 
 
-def _adv_sub_counts(digit_mat, counts_flat, length: int, both: bool):
+def _adv_sub_counts(digit_mat, counts_flat, length: int, both: bool,
+                    wide: bool = False):
     """Adv-PWM occurrence sums: for every motif, position p and base a,
     the aggregate count of the motif with position p replaced by a
     (reference: src/iupac_pattern.cpp:505-536).  Closed form in the
     motif's single-position / pair marginals — one table pass per motif
-    instead of 4W expansions."""
-    counts_f = counts_flat.astype(jnp.float32)
+    instead of 4W expansions.  ``wide``: f64 chain, exact past 2**24
+    (see walks_program)."""
+    agg = jnp.float64 if wide else jnp.float32
+    counts_f = counts_flat.astype(agg)
     if both:
         canon = ft.canonical_mask(length)
-        counts_c = jnp.where(canon, counts_f, 0.0)
+        counts_c = jnp.where(canon, counts_f, agg(0))
     else:
         counts_c = counts_f
-    masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=jnp.float32)
+    masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=agg)
     half = length // 2
 
     def one(digits):
@@ -157,18 +160,22 @@ def _adv_sub_counts(digit_mat, counts_flat, length: int, both: bool):
     return jax.vmap(one)(digit_mat)
 
 
-@functools.partial(jax.jit, static_argnames=("pseudo", "length", "both"))
+@functools.partial(
+    jax.jit, static_argnames=("pseudo", "length", "both", "wide"))
 def adv_pwm_program(digit_mat, counts_flat, bg0, pseudo: int,
-                    length: int, both: bool):
+                    length: int, both: bool, wide: bool = False):
     """Device adv-PWM construction: letter-substitution count sums plus
     the reference's integer pseudo-count arithmetic
     (src/iupac_pattern.cpp:505-536: int-truncated pseudo counts, integer
     totals, double division, float cells).  Sums are exact integers in
-    f32 while ltot < 2**24 (guarded by the engine)."""
-    sub = _adv_sub_counts(digit_mat, counts_flat, length, both)  # [M, W, 4]
+    f32 while ltot < 2**24; ``wide`` switches the aggregation to f64
+    (exact to 2**53) for larger corpora."""
+    sub = _adv_sub_counts(
+        digit_mat, counts_flat, length, both, wide)  # [M, W, 4]
     base = jnp.trunc(jnp.float32(pseudo)
                      * bg0.astype(jnp.float32)).astype(jnp.int32)   # [4]
-    i_total = base[None, None, :] + jnp.rint(sub).astype(jnp.int32)
+    i_total = base[None, None, :].astype(jnp.int64) + jnp.rint(sub).astype(
+        jnp.int64)
     n_total = jnp.sum(i_total, axis=-1, keepdims=True)
     return (i_total.astype(jnp.float64)
             / n_total.astype(jnp.float64)).astype(jnp.float32)
@@ -410,9 +417,12 @@ def process_tpu(peng, params) -> List[Motif]:
             np.add.at(counts_host, fix_ids, fix_dv)
             mark("fixup")
 
-        if ltot >= (1 << 24):
-            # f32 aggregation sums would lose integer exactness
-            raise EngineFallback("ltot >= 2**24")
+        if ltot >= (1 << 31):
+            # int32 count-table / uint32 fetch-blob bounds
+            raise EngineFallback("ltot >= 2**31")
+        # past 2**24 the f32 aggregation chains lose integer exactness;
+        # the climb and adv-PWM switch to their f64 (wide) variants
+        wide = ltot >= (1 << 24)
 
         # async: device builds its resident stat tables while the host
         # sorts and walks the seed selection below (ltot passed as the
@@ -464,7 +474,7 @@ def process_tpu(peng, params) -> List[Motif]:
             selected, W, both, params.opt_score_type.value,
             peng.n_sequences,
             int(peng.n_sequences * params.enrich_pseudocount_factor),
-            max_seeds=max(len(selected), 1))
+            max_seeds=max(len(selected), 1), wide=wide)
         if trace.overflow:
             raise EngineFallback("climb step/trace capacity exceeded")
 
@@ -494,7 +504,7 @@ def process_tpu(peng, params) -> List[Motif]:
                     jnp.asarray(digit_mat), st["counts"],
                     jnp.asarray(np.asarray(peng.bg_model.v[0],
                                            dtype=np.float32)),
-                    params.pseudo_counts, W, both)
+                    params.pseudo_counts, W, both, wide=wide)
             else:
                 pwm0_dev = jnp.asarray(
                     np.stack([_default_pwm(peng, params, m, W)

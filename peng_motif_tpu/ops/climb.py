@@ -160,7 +160,8 @@ def _candidate_aggregates(stack, m, cand_letters, pos_idx, length, both):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("length", "both", "score_type", "max_steps", "acc_cap"))
+    static_argnames=(
+        "length", "both", "score_type", "max_steps", "acc_cap", "wide"))
 def walks_program(
     counts_flat: jax.Array,     # [4**W] int32, mirrored counts
     expected_flat: jax.Array,   # [4**W] f32
@@ -174,22 +175,32 @@ def walks_program(
     score_type: int,
     max_steps: int = MAX_STEPS,
     acc_cap: int = ACC_CAP,
+    wide: bool = False,
 ):
     W = length
     C = W * MAXSIM
     S = seed_ids.shape[0]
     R = acc_cap
 
-    counts_f = counts_flat.astype(F32)
+    # wide mode (large corpora): f32 holds integer count sums exactly
+    # only below 2**24; past that the aggregation chain runs in f64
+    # (TPU software floats — tables here are tiny), keeping aggregates
+    # exact up to 2**53.  Score math still rounds through f32 at the
+    # reference's promotion points (the C++ casts size_t counts to
+    # float the same way), so walk decisions stay reference-faithful.
+    AGG = jnp.float64 if wide else F32
+
+    counts_f = counts_flat.astype(AGG)
     if both:
         canon = ft.canonical_mask(W)
         stack = jnp.stack([
-            jnp.where(canon, counts_f, 0.0),
-            jnp.where(canon, expected_flat, 0.0),
-            jnp.where(canon, bgp_flat, 0.0),
+            jnp.where(canon, counts_f, AGG(0)),
+            jnp.where(canon, expected_flat.astype(AGG), AGG(0)),
+            jnp.where(canon, bgp_flat.astype(AGG), AGG(0)),
         ])
     else:
-        stack = jnp.stack([counts_f, expected_flat, bgp_flat])
+        stack = jnp.stack([counts_f, expected_flat.astype(AGG),
+                           bgp_flat.astype(AGG)])
 
     # hi/lo bilinear layout: flat id = hi * 4**half + lo, so the table
     # is a [G, H, L] tensor and a separable-mask aggregate is the
@@ -201,7 +212,8 @@ def walks_program(
     X = stack.reshape(3, Lb, Lb)
     dig = np.stack([(np.arange(Lb) >> (2 * p)) & 3
                     for p in range(half)])               # [half, L]
-    oh_np = np.zeros((half, 4, Lb), dtype=np.float32)
+    oh_np = np.zeros((half, 4, Lb),
+                     dtype=np.float64 if wide else np.float32)
     for _p in range(half):
         oh_np[_p, dig[_p], np.arange(Lb)] = 1.0
     DIG = jnp.asarray(dig.astype(np.int32))
@@ -209,7 +221,7 @@ def walks_program(
     POS_H = jnp.arange(half, dtype=jnp.int32)[:, None]   # [half, 1]
 
     sim_tbl = jnp.asarray(SIM_TABLE)
-    masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=F32)
+    masks_tbl = jnp.asarray(IUPAC_MASKS, dtype=AGG)
     lb = jnp.asarray(np.asarray(LOG_BONFERRONI, dtype=np.float32))
     pos_idx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), MAXSIM)  # [C]
     mirror = W - 1 - pos_idx                                      # [C]
@@ -356,9 +368,11 @@ def walks_program(
     # init_agg: [S, 3]
 
     zt_f = jnp.zeros((max_steps, S), dtype=F32)
+    zt_a = jnp.zeros((max_steps, S), dtype=AGG)   # aggregate buffers
     zt_i = jnp.zeros((max_steps, S), dtype=jnp.int32)
     zt_b = jnp.zeros((max_steps, S), dtype=jnp.bool_)
     za_f = jnp.zeros((max_steps, S, R), dtype=F32)
+    za_a = jnp.zeros((max_steps, S, R), dtype=AGG)
     za_i = jnp.zeros((max_steps, S, R), dtype=jnp.int32)
 
     def cond(st):
@@ -394,10 +408,11 @@ def walks_program(
         cand_i = jnp.broadcast_to(
             jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
         pad = jnp.zeros((S, R + 1), dtype=F32)
+        pada = jnp.zeros((S, R + 1), dtype=AGG)
         padi = jnp.zeros((S, R + 1), dtype=jnp.int32)
         a_idx = padi.at[rows_s, slot].set(cand_i)[:, :R]
-        a_cnt = pad.at[rows_s, slot].set(c_c)[:, :R]
-        a_exp = pad.at[rows_s, slot].set(e_c)[:, :R]
+        a_cnt = pada.at[rows_s, slot].set(c_c)[:, :R]
+        a_exp = pada.at[rows_s, slot].set(e_c)[:, :R]
         a_sc = pad.at[rows_s, slot].set(scores)[:, :R]
         n_acc = jnp.sum(accepted, axis=1).astype(jnp.int32)
         overflow = overflow | jnp.any((n_acc > R) & active)
@@ -435,8 +450,8 @@ def walks_program(
 
     st0 = (jnp.int32(0), digits0, init_score,
            init_agg[:, 0], init_agg[:, 1], init_agg[:, 2], seed_valid,
-           zt_b, zt_i, zt_f, zt_f, zt_f, zt_f,
-           za_i, za_f, za_f, za_f, zt_i, jnp.bool_(False))
+           zt_b, zt_i, zt_a, zt_a, zt_a, zt_f,
+           za_i, za_a, za_a, za_f, zt_i, jnp.bool_(False))
     st = jax.lax.while_loop(cond, body, st0)
     (t_end, _, _, _, _, _, active,
      improved_buf, chosen_idx_buf, chosen_cnt_buf, chosen_exp_buf,
@@ -458,8 +473,11 @@ def walks_program(
 
 def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
               length: int, both: bool, score_type: int, n_sequences: int,
-              pseudo_expected: int, max_seeds: int) -> WalkTrace:
-    """Host wrapper: pad seeds, dispatch once, fetch the trace."""
+              pseudo_expected: int, max_seeds: int,
+              wide: bool = False) -> WalkTrace:
+    """Host wrapper: pad seeds, dispatch once, fetch the trace.
+    ``wide`` selects the f64 aggregation chain (exact integer count
+    sums past 2**24, see walks_program)."""
     S = max_seeds
     ids = np.zeros(S, dtype=np.int32)
     valid = np.zeros(S, dtype=bool)
@@ -471,7 +489,7 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
         counts_flat, expected_flat, bgp_flat,
         jnp.asarray(ids), jnp.asarray(valid),
         jnp.float32(n_sequences), jnp.float32(pseudo_expected),
-        length, both, score_type)
+        length, both, score_type, wide=wide)
     h = jax.device_get(out)
     return WalkTrace(
         improved=np.asarray(h["improved"]),

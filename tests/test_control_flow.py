@@ -190,3 +190,54 @@ def test_redundancy_filter_breaks_after_one_deselection(monkeypatch):
     motifs = [c, a, b]  # filter re-sorts by log_pvalue first
     peng.filter_redundancy(0.4, motifs)
     assert [m.name for m in motifs] == ["A", "C"]
+
+
+def test_walks_wide_matches_narrow():
+    """wide=True (f64 aggregation chain for ltot >= 2**24) must produce
+    identical walk decisions and aggregates in the regime where both
+    are exact (all counts < 2**24)."""
+    import jax
+    import jax.numpy as jnp
+    from peng_motif_tpu.ops.climb import walks_program
+
+    rng = np.random.default_rng(5)
+    W = 6
+    # keep the FULL-table aggregate (worst mask set, all-N) < 2**24 so
+    # the narrow f32 chain is itself exact and equality is well-defined
+    counts = jnp.asarray(rng.integers(0, 4_000, size=4 ** W).astype(np.int32))
+    expected = jnp.asarray((rng.random(4 ** W) * 50).astype(np.float32))
+    bgp = jnp.asarray((rng.random(4 ** W) * 1e-4).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 4 ** W, size=7).astype(np.int32))
+    valid = jnp.ones(7, bool)
+    outs = {}
+    for wide in (False, True):
+        outs[wide] = jax.device_get(walks_program(
+            counts, expected, bgp, ids, valid,
+            jnp.float32(500), jnp.float32(0), W, True, 0, wide=wide))
+    a, b = outs[False], outs[True]
+    np.testing.assert_array_equal(a["improved"], b["improved"])
+    np.testing.assert_array_equal(a["chosen_idx"], b["chosen_idx"])
+    np.testing.assert_array_equal(a["chosen_counts"],
+                                  b["chosen_counts"].astype(np.float32))
+    np.testing.assert_array_equal(a["acc_n"], b["acc_n"])
+    # float aggregates: f64 sums rounded to f32 may differ in the last
+    # ulp from f32 tree sums; scores compare as f32
+    np.testing.assert_allclose(
+        a["chosen_expected"], b["chosen_expected"], rtol=1e-6)
+    np.testing.assert_allclose(a["chosen_score"], b["chosen_score"],
+                               rtol=2e-6, atol=2e-5)
+
+
+def test_adv_pwm_wide_matches_narrow():
+    import jax
+    import jax.numpy as jnp
+    from peng_motif_tpu.engine_tpu import adv_pwm_program
+
+    rng = np.random.default_rng(6)
+    W = 6
+    counts = jnp.asarray(rng.integers(0, 60_000, size=4 ** W).astype(np.int32))
+    dig = jnp.asarray(rng.integers(0, 11, size=(4, W)).astype(np.int32))
+    bg0 = jnp.asarray(np.full(4, 0.25, np.float32))
+    a = np.asarray(adv_pwm_program(dig, counts, bg0, 10, W, True, wide=False))
+    b = np.asarray(adv_pwm_program(dig, counts, bg0, 10, W, True, wide=True))
+    np.testing.assert_array_equal(a, b)

@@ -71,3 +71,48 @@ def test_forced_device_count_byte_identical_on_hardware(
     with open(meme_out, "rb") as f, \
             open(os.path.join(GOLDEN_DIR, "mafk100_w8.meme"), "rb") as g:
         assert f.read() == g.read()
+
+
+def test_large_corpus_wide_path(accelerator, tmp_path):
+    """Large-corpus (ltot >= 2**24) wide-aggregation path on hardware:
+    the TPU engine must not fall back, decisions and integer aggregates
+    must equal the byte-exact engine, and EM'd PWM cells must agree to
+    1e-4 (f32 summation-order noise is amplified by EM at ~5e7-count
+    scale; the reference's own f32 sums carry the same class of error).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    let = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_seq, L = 10_000, 2_000                      # 20 Mbases
+    rows = let[rng.integers(0, 4, size=(n_seq, L))]
+    mot = np.frombuffer(b"TGACTCAC", dtype=np.uint8)
+    pos = rng.integers(0, L - 8, size=n_seq)
+    for i in np.flatnonzero(rng.random(n_seq) < 0.25):
+        rows[i, pos[i]: pos[i] + 8] = mot
+    fa = tmp_path / "large20.fasta"
+    with open(fa, "wb") as f:
+        for i in range(n_seq):
+            f.write(b">s%d\n" % i)
+            f.write(rows[i].tobytes())
+            f.write(b"\n")
+
+    out_tpu = str(tmp_path / "tpu.meme")
+    out_exact = str(tmp_path / "exact.meme")
+    assert main([str(fa), "-w", "8", "-o", out_tpu, "--engine", "tpu"]) == 0
+    assert main([str(fa), "-w", "8", "-o", out_exact,
+                 "--engine", "exact"]) == 0
+    got = open(out_tpu).read().splitlines()
+    want = open(out_exact).read().splitlines()
+    assert len(got) == len(want)
+    for ln, (a, b) in enumerate(zip(got, want), 1):
+        if a == b:
+            continue
+        ta, tb = a.split(), b.split()
+        assert len(ta) == len(tb), f"line {ln}: {a!r} vs {b!r}"
+        for x, y in zip(ta, tb):
+            if x == y:
+                continue
+            fx, fy = float(x), float(y)    # non-floats must be equal
+            assert abs(fx - fy) <= 1e-4 + 1e-5 * abs(fy), \
+                f"line {ln}: {a!r} vs {b!r}"
