@@ -35,13 +35,99 @@ GOLDEN = {
     8: os.path.join(REPO, "tests", "golden", "mafk_w8.meme"),
 }
 
+# ---- large-corpus configuration (round-2 verdict next #4) -----------------
+# 51.2 Mbases, 25,000 x 2,048 bp, ~30% of sequences carry one planted
+# TGA[C/G]TCAC occurrence.  Deterministic (seed 7): the reference C++
+# binary (Release, gcc, single thread, this container) was measured on
+# the EXACT corpus this generator emits:
+#     -w 8 : 2.4 s      -w 10 (default): 6.8 s
+# (measured 2026-08-20; /tmp/refbuild built from /root/reference with
+# -DCMAKE_BUILD_TYPE=Release).  The exact engine is byte-identical to
+# the reference binary on this corpus, so large-run parity is checked
+# against the exact engine's output.
+LARGE_MBASES = 51.2
+LARGE_REF_W8_S = 2.4
+LARGE_REF_W10_S = 6.8
+LARGE_PATH = "/tmp/peng_bench_large50.fasta"
 
-def run_once(out_path, w, engine=None, timing=False):
+
+def _gen_large():
+    """Write the deterministic 51.2-Mbase corpus (cached on disk)."""
+    import numpy as np
+
+    if os.path.exists(LARGE_PATH) and os.path.getsize(LARGE_PATH) > 5e7:
+        return
+    rng = np.random.default_rng(7)
+    let = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_seq, L = 25_000, 2_048
+    rows = let[rng.integers(0, 4, size=(n_seq, L))]
+    sel = rng.random(n_seq) < 0.3
+    mot_c = np.frombuffer(b"TGACTCAC", dtype=np.uint8)
+    mot_g = np.frombuffer(b"TGAGTCAC", dtype=np.uint8)
+    pos = rng.integers(0, L - 8, size=n_seq)
+    for i in np.flatnonzero(sel):
+        rows[i, pos[i]: pos[i] + 8] = mot_c if (i & 1) else mot_g
+    tmp = LARGE_PATH + ".tmp"
+    with open(tmp, "wb") as f:
+        for i in range(n_seq):
+            f.write(b">s%d\n" % i)
+            f.write(rows[i].tobytes())
+            f.write(b"\n")
+    os.replace(tmp, LARGE_PATH)
+
+
+def _tol_diff(got_path, want_path, tol, rel):
+    """'tol' if every non-identical token is a float within
+    tol + rel*|want| (and line/token structure matches), 'byte' if
+    byte-identical, else 'FAIL'."""
+    with open(got_path, "rb") as f, open(want_path, "rb") as g:
+        got_b, want_b = f.read(), g.read()
+    if got_b == want_b:
+        return "byte"
+    got, want = got_b.decode().splitlines(), want_b.decode().splitlines()
+    if len(got) != len(want):
+        return "FAIL"
+    for a, b in zip(got, want):
+        if a == b:
+            continue
+        ta, tb = a.split(), b.split()
+        if len(ta) != len(tb):
+            return "FAIL"
+        for x, y in zip(ta, tb):
+            if x == y:
+                continue
+            try:
+                if abs(float(x) - float(y)) > tol + rel * abs(float(y)):
+                    return "FAIL"
+            except ValueError:
+                return "FAIL"
+    return "tol"
+
+
+def _measure_large(w, ref_s):
+    """(tpu_wall_best, parity, exact_wall): full-pipeline walls on the
+    51.2-Mbase corpus.  Parity: TPU-engine output vs the exact engine
+    (byte-identical to the reference binary on this corpus), with
+    5e-4 + 1e-5*|x| float tolerance — EM'd PWM cells carry f32
+    summation-order noise amplified at ~5e7-count scale; decisions and
+    integer aggregates must be exactly equal (token equality)."""
+    out_t = "/tmp/peng_bench_large_tpu.meme"
+    out_e = "/tmp/peng_bench_large_exact.meme"
+    run_once_path(LARGE_PATH, out_t, w, "tpu")          # warm
+    best_t = _best_of(2, lambda: run_once_path(LARGE_PATH, out_t, w, "tpu"))
+    t0 = time.perf_counter()
+    run_once_path(LARGE_PATH, out_e, w, "exact")
+    exact_s = time.perf_counter() - t0
+    parity = _tol_diff(out_t, out_e, 5e-4, 1e-5)
+    return best_t, parity, exact_s
+
+
+def run_once_path(data, out_path, w, engine=None, timing=False):
     import contextlib
 
     from peng_motif_tpu.cli import main
 
-    argv = [DATA, "-w", str(w), "-o", out_path]
+    argv = [data, "-w", str(w), "-o", out_path]
     if engine:
         argv += ["--engine", engine]
     if timing:
@@ -51,6 +137,10 @@ def run_once(out_path, w, engine=None, timing=False):
         rc = main(argv)
     assert rc == 0
     return ebuf.getvalue()
+
+
+def run_once(out_path, w, engine=None, timing=False):
+    return run_once_path(DATA, out_path, w, engine, timing)
 
 
 def _parity(out_path, w):
@@ -185,6 +275,25 @@ def main():
     except Exception:
         counting_mbs = None
 
+    # large-corpus full-pipeline legs (TPU-engine product path; the
+    # exact engine is the reference-parity yardstick)
+    large = {}
+    if default_engine == "tpu":
+        try:
+            _gen_large()
+            for w, ref_s in ((8, LARGE_REF_W8_S), (10, LARGE_REF_W10_S)):
+                best_t, parity, exact_s = _measure_large(w, ref_s)
+                large[f"large_w{w}_tpu_wall_s"] = round(best_t, 3)
+                large[f"large_w{w}_tpu_mbases_s"] = round(
+                    LARGE_MBASES / best_t, 2)
+                large[f"large_w{w}_vs_ref"] = round(ref_s / best_t, 2)
+                large[f"large_w{w}_parity"] = parity
+                large[f"large_w{w}_exact_wall_s"] = round(exact_s, 3)
+                large[f"large_w{w}_ref_wall_s"] = ref_s
+            large["large_mbases"] = LARGE_MBASES
+        except Exception as e:  # noqa: BLE001 - bench must still report
+            large["large_error"] = f"{type(e).__name__}: {e}"
+
     best_w10, parity_w10 = res[(10, default_engine)]
     best_w8, parity_w8 = res[(8, default_engine)]
     value = MBASES / best_w10
@@ -214,6 +323,7 @@ def main():
                     "w10_phase_wall_s": phases,
                     "counting_device_mbases_s": counting_mbs,
                     "warmup_wall_s": round(warm, 3),
+                    **large,
                 },
             }
         )

@@ -271,13 +271,28 @@ int parse_file(const char* path, ParseResult& res) {
       size_t old = res.codes.size();
       res.codes.resize(old + line_len);
       uint8_t* dst = res.codes.data() + old;
+      // vectorizable fast pass: four equality compares map A/C/G/T
+      // (either case) to codes 1-4; everything else (incl. undefined
+      // bases and the fatal space) lands on 0 and is re-examined by
+      // the scalar bookkeeping pass only when present (rare).
+      size_t na = 0, nc = 0, ng = 0, nt = 0;
       for (size_t i = 0; i < line_len; i++) {
-        unsigned char ch = (unsigned char)line[i];
-        if (ch == ' ') return -2;  // space in sequence: fatal
-        uint8_t c = code_of[ch];
-        dst[i] = c;
-        bc[c]++;
-        if (!c) cur_undef.push_back((char)ch);
+        unsigned char up = (unsigned char)line[i] & (unsigned char)~0x20;
+        const bool ia = up == 'A', ic = up == 'C', ig = up == 'G',
+                   it = up == 'T';
+        dst[i] = (uint8_t)(ia * 1 + ic * 2 + ig * 3 + it * 4);
+        na += ia; nc += ic; ng += ig; nt += it;
+      }
+      bc[1] += na; bc[2] += nc; bc[3] += ng; bc[4] += nt;
+      const size_t n_zero = line_len - (na + nc + ng + nt);
+      bc[0] += n_zero;
+      if (n_zero) {
+        for (size_t i = 0; i < line_len; i++) {
+          if (dst[i]) continue;
+          const unsigned char ch = (unsigned char)line[i];
+          if (ch == ' ') return -2;  // space in sequence: fatal
+          cur_undef.push_back((char)ch);
+        }
       }
     } else {
       return -3;  // sequence data before any header: wrong format

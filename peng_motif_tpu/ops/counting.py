@@ -49,8 +49,15 @@ from .pallas_hist import histogram
 
 
 def _host_count_max_bases() -> int:
-    """Inputs at or below this many bases count on host (see CountJob)."""
-    return int(os.environ.get("PENG_COUNT_HOST_MAX_BASES", 8_000_000))
+    """Inputs at or below this many bases count on host (see CountJob).
+
+    The default favors the threaded native scan well past the old
+    8-Mbase mark: on a tunneled accelerator the device path's
+    transfer + fetch stalls make it slower than host C++ until far
+    larger corpora, and the exact engine's phases are host-native
+    anyway.  The TPU engine's stream counting is unaffected (its table
+    must be device-resident)."""
+    return int(os.environ.get("PENG_COUNT_HOST_MAX_BASES", 128_000_000))
 
 
 def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
@@ -359,9 +366,14 @@ class CountJob:
         # of ms of dispatch + transfer latency, which dominates small
         # inputs; those take the threaded host scan (identical table and
         # ltot, cross-validated in tests/test_counting.py).  Large
-        # corpora amortize the transfer and go to the device.  Set
+        # corpora amortize the transfer and go to the device — but only
+        # when the "device" is a real accelerator: the XLA:CPU count
+        # program is ~10x slower than the threaded native scan, so on a
+        # CPU backend every size stays on host.  Set
         # PENG_COUNT_HOST_MAX_BASES=0 to force the device path.
-        if self._codes_np.size <= _host_count_max_bases():
+        on_cpu = jax.default_backend() == "cpu"
+        if (self._codes_np.size <= _host_count_max_bases() or
+                (on_cpu and _host_count_max_bases() > 0)):
             from ..native import (  # noqa: PLC0415
                 count_rows_exact_native, get_lib)
 
