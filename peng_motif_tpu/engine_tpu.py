@@ -115,11 +115,9 @@ def stats_program(counts, v, ltot, fix_ids, fix_dv,
 def _compact_counts_i32(counts, length: int, both: bool):
     """uint16-overflow refetch: canonical slice of the resident table."""
     if both:
-        from .ops.counting import _n_canonical  # noqa: PLC0415
+        from .ops import encoding  # noqa: PLC0415
 
-        canon = ft.canonical_mask(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
-        return counts[canon_idx]
+        return counts[encoding.canonical_idx_flat(length)]
     return counts
 
 
@@ -494,10 +492,15 @@ def process_tpu(peng, params) -> List[Motif]:
     with peng.timer.phase("pwm"):
         pwm0_np = final_pwms = None
         if candidates:
+            n_cand = len(candidates)
+            # power-of-two motif-slot bucket: M is a shape; unbucketed
+            # it forces one adv-PWM/EM recompile per distinct corpus
+            m_pad = max(4, 1 << (n_cand - 1).bit_length())
             if params.adv_pwm:
                 from .alphabets import iupac_id_to_digits  # noqa: PLC0415
 
-                digit_mat = np.stack([
+                digit_mat = np.zeros((m_pad, W), dtype=np.int32)
+                digit_mat[:n_cand] = np.stack([
                     iupac_id_to_digits(m.pattern_id, W) for m in candidates
                 ]).astype(np.int32)
                 pwm0_dev = adv_pwm_program(
@@ -506,9 +509,10 @@ def process_tpu(peng, params) -> List[Motif]:
                                            dtype=np.float32)),
                     params.pseudo_counts, W, both, wide=wide)
             else:
-                pwm0_dev = jnp.asarray(
-                    np.stack([_default_pwm(peng, params, m, W)
-                              for m in candidates]))
+                pads = np.zeros((m_pad, W, 4), dtype=F32)
+                pads[:n_cand] = np.stack(
+                    [_default_pwm(peng, params, m, W) for m in candidates])
+                pwm0_dev = jnp.asarray(pads)
             if params.use_em:
                 assert table_order == current_max_k
                 final_dev, _ = em_ops.em_optimize_flat(

@@ -478,7 +478,10 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
     """Host wrapper: pad seeds, dispatch once, fetch the trace.
     ``wide`` selects the f64 aggregation chain (exact integer count
     sums past 2**24, see walks_program)."""
-    S = max_seeds
+    # power-of-two seed-slot bucket: the padded seed count is a shape,
+    # and an unbucketed shape means one ~minute walks_program compile
+    # per distinct corpus instead of per (W, bucket) pair
+    S = max(8, 1 << (max_seeds - 1).bit_length())
     ids = np.zeros(S, dtype=np.int32)
     valid = np.zeros(S, dtype=bool)
     n = min(len(seed_ids), S)

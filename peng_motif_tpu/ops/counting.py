@@ -232,7 +232,7 @@ def _count_device_packed(buf, seq_len: int, length: int,
 
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        canon_idx = encoding.canonical_idx_flat(length)
         vals = counts[canon_idx]
     else:
         vals = counts
@@ -257,9 +257,7 @@ def _count_device_packed_i32(buf, seq_len: int, length: int,
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
-        canon = encoding.canonical_mask_flat(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
-        return counts[canon_idx]
+        return counts[encoding.canonical_idx_flat(length)]
     return counts
 
 
@@ -289,7 +287,7 @@ def count_device_full(buf, seq_len: int, length: int, both_strands: bool):
     counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        canon_idx = encoding.canonical_idx_flat(length)
         vals = counts[canon_idx]
         rc_ids = encoding.rc_ids_flat(length)
         counts = jnp.where(canon, counts, counts[rc_ids])

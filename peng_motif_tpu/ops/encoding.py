@@ -21,6 +21,8 @@ half-pattern reverse-complement lookup tables.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,24 +65,48 @@ def rc_ids_tensor(length: int) -> jax.Array:
     return rc_permute(pattern_ids_tensor(length))
 
 
-def rc_ids_flat(length: int) -> jax.Array:
-    """Flat [4**W] int32 array of reverse-complement ids via bit
-    arithmetic — no rank-W intermediate.  Rank-W tensors tile on TPU as
-    T(4,128), padding the trailing (4, 4) dims 32x; the flat form keeps
-    the counting path's memory footprint exact (required for W >= 12,
-    faster everywhere)."""
-    ids = jnp.arange(4 ** length, dtype=jnp.int32)
-    rc = jnp.zeros_like(ids)
+@functools.lru_cache(maxsize=None)
+def _np_rc_ids(length: int) -> np.ndarray:
+    ids = np.arange(4 ** length, dtype=np.int64)
+    rc = np.zeros_like(ids)
     for p in range(length):
         digit = (ids >> (2 * p)) & 3
-        rc = rc | ((3 - digit) << (2 * (length - 1 - p)))
-    return rc
+        rc |= (3 - digit) << (2 * (length - 1 - p))
+    return rc.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _np_canonical_mask(length: int) -> np.ndarray:
+    ids = np.arange(4 ** length, dtype=np.int64)
+    return ids <= _np_rc_ids(length)
+
+
+@functools.lru_cache(maxsize=None)
+def _np_canonical_idx(length: int) -> np.ndarray:
+    return np.flatnonzero(_np_canonical_mask(length)).astype(np.int32)
+
+
+def rc_ids_flat(length: int) -> jax.Array:
+    """Flat [4**W] int32 array of reverse-complement ids — no rank-W
+    intermediate (rank-W tensors tile on TPU as T(4,128), padding the
+    trailing (4, 4) dims 32x).  Built in numpy and embedded as a
+    program literal: computing it with traced ops makes XLA constant-
+    fold a 4**W-op chain through its (slow) HLO evaluator at compile
+    time — measured ~77 s of the w10 count-program compile."""
+    return jnp.asarray(_np_rc_ids(length))
 
 
 def canonical_mask_flat(length: int) -> jax.Array:
-    """Flat [4**W] bool mask: id <= revcomp(id) (see rc_ids_flat)."""
-    ids = jnp.arange(4 ** length, dtype=jnp.int32)
-    return ids <= rc_ids_flat(length)
+    """Flat [4**W] bool mask: id <= revcomp(id) (numpy literal, see
+    rc_ids_flat)."""
+    return jnp.asarray(_np_canonical_mask(length))
+
+
+def canonical_idx_flat(length: int) -> jax.Array:
+    """Ascending ids with id <= revcomp(id) ([(4**W + pal)/2] int32
+    literal) — replaces in-graph ``jnp.nonzero(canonical_mask)``,
+    which XLA would also constant-fold slowly."""
+    return jnp.asarray(_np_canonical_idx(length))
 
 
 def canonical_mask(length: int) -> jax.Array:

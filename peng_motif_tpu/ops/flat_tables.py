@@ -152,18 +152,18 @@ def pair_marginals(flat: jax.Array, masks: jax.Array,
 
 
 def rc_ids(length: int) -> jax.Array:
-    """[4**W] int32 reverse-complement ids (bit arithmetic, no gather)."""
-    ids = jnp.arange(4 ** length, dtype=jnp.int32)
-    rc = jnp.zeros_like(ids)
-    for p in range(length):
-        digit = (ids >> (2 * p)) & 3
-        rc = rc | ((3 - digit) << (2 * (length - 1 - p)))
-    return rc
+    """[4**W] int32 reverse-complement ids (numpy literal — traced
+    construction makes XLA constant-fold 4**W-op chains at compile
+    time, see encoding.rc_ids_flat)."""
+    from . import encoding  # noqa: PLC0415
+
+    return encoding.rc_ids_flat(length)
 
 
 def canonical_mask(length: int) -> jax.Array:
-    ids = jnp.arange(4 ** length, dtype=jnp.int32)
-    return ids <= rc_ids(length)
+    from . import encoding  # noqa: PLC0415
+
+    return encoding.canonical_mask_flat(length)
 
 
 def rc_gather(flat: jax.Array, length: int) -> jax.Array:

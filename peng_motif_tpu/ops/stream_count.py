@@ -214,7 +214,7 @@ def stream_compact(counts: jax.Array, length: int, both_strands: bool):
     """(resident mirrored counts, compact canonical vals u16, max)."""
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+        canon_idx = encoding.canonical_idx_flat(length)
         vals = counts[canon_idx]
         rc_ids = encoding.rc_ids_flat(length)
         counts = jnp.where(canon, counts, counts[rc_ids])
@@ -538,7 +538,5 @@ def _stream_counts_i32(buf, row: int, ctx: int, length: int,
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = histogram(flat_ids, flat_inc, 4 ** length)
     if both_strands:
-        canon = encoding.canonical_mask_flat(length)
-        (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
-        return counts[canon_idx]
+        return counts[encoding.canonical_idx_flat(length)]
     return counts

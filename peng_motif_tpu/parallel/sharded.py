@@ -81,7 +81,7 @@ def count_patterns_sharded(
         ltot = jax.lax.psum(local_ltot, "data")
         if both_strands:
             canon = encoding.canonical_mask_flat(length)
-            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            canon_idx = encoding.canonical_idx_flat(length)
             vals = counts[canon_idx]
         else:
             vals = counts
@@ -162,7 +162,7 @@ def count_device_full_sharded(
         ltot = jax.lax.psum(valid.astype(jnp.int32).sum(), "data")
         if both_strands:
             canon = encoding.canonical_mask_flat(length)
-            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            canon_idx = encoding.canonical_idx_flat(length)
             vals = counts[canon_idx]
             rc_ids = encoding.rc_ids_flat(length)
             counts = jnp.where(canon, counts, counts[rc_ids])
@@ -247,7 +247,7 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
         counts = jax.lax.psum(local, "data")
         if both_strands:
             canon = encoding.canonical_mask_flat(length)
-            (canon_idx,) = jnp.nonzero(canon, size=_n_canonical(length))
+            canon_idx = encoding.canonical_idx_flat(length)
             return counts[canon_idx]
         return counts
 
