@@ -87,19 +87,23 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
     rows = chunk_rows(stream, lay)
     per = m_pad // n_dev
     lo, hi = _local_block(mesh, per)
+    # flat 1-D upload (chunk-aligned shards): a 2-D put pays a
+    # per-shape layout-program compile on tunneled backends
     local_packed = pack_codes(rows[lo:hi])
+    nb = local_packed.shape[1]
+    local_flat = local_packed.reshape(-1)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P("data", None),
+        in_specs=P("data"),
         out_specs=(P(), P(), P(), P()),
         # the all_gather'd suspicion vector is replicated by
         # construction; the static VMA check cannot see that
         check_vma=False,
     )
-    def shard_count(shard_buf):
-        codes = _unpack_codes(shard_buf, lay.row)
+    def shard_count(shard_flat):
+        codes = _unpack_codes(shard_flat.reshape(-1, nb), lay.row)
         local, local_ltot, susp = stream_local_counts(
             codes, lay.ctx, length, both)
         counts = jax.lax.psum(local, "data")
@@ -110,8 +114,8 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
         _, vals, max_c = stream_compact(counts, length, both)
         return vals, max_c, ltot, susp_all
 
-    sharding = NamedSharding(mesh, P("data", None))
-    arr = jax.make_array_from_process_local_data(sharding, local_packed)
+    sharding = NamedSharding(mesh, P("data"))
+    arr = jax.make_array_from_process_local_data(sharding, local_flat)
     vals, max_c, ltot, susp = jax.device_get(jax.jit(shard_count)(arr))
     assert int(max_c) <= np.iinfo(np.uint16).max, \
         "u16 overflow refetch not wired for multihost"
