@@ -206,7 +206,9 @@ def stream_local_counts(codes: jax.Array, ctx: int, length: int,
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = histogram(flat_ids, flat_inc, 4 ** length)
-    ltot = (processed & core[None, :]).astype(jnp.int32).sum()
+    # int64: an int32 sum would wrap at 2**31 processed windows and
+    # the engine's ltot guard could never fire
+    ltot = (processed & core[None, :]).astype(jnp.int64).sum()
     return counts, ltot, susp | ambiguous
 
 
@@ -263,7 +265,10 @@ def _pack_fetch_blob(vals_u16, max_c, ltot, susp):
     nv = vals_u16.shape[0]
     vp = jnp.pad(vals_u16.astype(jnp.uint32), (0, nv % 2))
     vals_words = vp[0::2] | (vp[1::2] << 16)
-    head = jnp.stack([ltot.astype(jnp.uint32), max_c.astype(jnp.uint32)])
+    head = jnp.stack([
+        # clamp: ltot >= 2**31 must still be visible to the host guard
+        jnp.minimum(ltot, (1 << 32) - 1).astype(jnp.uint32),
+        max_c.astype(jnp.uint32)])
     return jnp.concatenate([head, susp_words, vals_words])
 
 

@@ -217,7 +217,7 @@ def stream_count_sharded(
         local, local_ltot, susp = stream_local_counts(
             codes, lay.ctx, length, both_strands)
         counts = jax.lax.psum(local, "data")
-        ltot = jax.lax.psum(local_ltot, "data")
+        ltot = jax.lax.psum(local_ltot, "data")  # int64 (see stream_count)
         counts, vals, max_c = stream_compact(counts, length, both_strands)
         return counts, vals, max_c, ltot, susp
 
