@@ -82,12 +82,17 @@ class StreamLayout(NamedTuple):
 
 def _bucket(m: int) -> int:
     """Shape ladder for the chunk count: powers of two up to 8192, then
-    multiples of 4096 (<= 2x waste small, <= 5% waste large)."""
+    multiples of 4096, then multiples of the slab size (the count
+    program processes > _SLAB_MIN chunks in _SLAB-chunk slabs, see
+    _accumulated_local_counts; padding chunks are all-zero and fully
+    invalid)."""
     if m <= 0:
         return 1
     if m <= 8192:
         return 1 << (m - 1).bit_length()
-    return ((m + 4095) // 4096) * 4096
+    if m <= 65536:
+        return ((m + 4095) // 4096) * 4096
+    return ((m + 16383) // 16384) * 16384
 
 
 def make_layout(lengths: Sequence[int], W: int, row: int = ROW
@@ -230,6 +235,39 @@ def row_nbytes(row: int) -> int:
     return (row + 3) // 4 + (row + 7) // 8
 
 
+# chunk-axis slab: above this many chunks the count program processes
+# the stream in fixed-size slabs inside a fori_loop, so peak device
+# memory is one slab's intermediates (unpacked codes + window ids +
+# masks are ~40 bytes/base; a 150-Mbase corpus in one shot exceeds HBM
+# and silently spills through the host link — measured 88 s for a scan
+# that takes ~2 s slabbed)
+_SLAB = 16384
+_SLAB_MIN = 65536
+
+
+def _accumulated_local_counts(buf2d, row: int, ctx: int, length: int,
+                              both_strands: bool):
+    """(counts [4**W] int32 un-mirrored, ltot int64, susp [m_pad]):
+    single pass for small chunk counts, slab fori_loop otherwise."""
+    m_pad = buf2d.shape[0]
+    if m_pad <= _SLAB_MIN:
+        codes = _unpack_codes(buf2d, row)
+        return stream_local_counts(codes, ctx, length, both_strands)
+    assert m_pad % _SLAB == 0, "bucket ladder must align to _SLAB"
+
+    def body(k, st):
+        counts, ltot, susp = st
+        sl = jax.lax.dynamic_slice_in_dim(buf2d, k * _SLAB, _SLAB, axis=0)
+        codes = _unpack_codes(sl, row)
+        c, lt, sp = stream_local_counts(codes, ctx, length, both_strands)
+        susp = jax.lax.dynamic_update_slice_in_dim(susp, sp, k * _SLAB, 0)
+        return counts + c, ltot + lt, susp
+
+    init = (jnp.zeros(4 ** length, dtype=jnp.int32), jnp.int64(0),
+            jnp.zeros(m_pad, dtype=jnp.bool_))
+    return jax.lax.fori_loop(0, m_pad // _SLAB, body, init)
+
+
 @functools.partial(
     jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
 def stream_count_device(buf, row: int, ctx: int, length: int,
@@ -245,9 +283,8 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
     corpus on the tunneled backend) that the 1-D put does not."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    codes = _unpack_codes(buf, row)
-    counts, ltot, suspicious = stream_local_counts(
-        codes, ctx, length, both_strands)
+    counts, ltot, suspicious = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, vals, max_c, ltot, suspicious
 
@@ -294,9 +331,8 @@ def stream_count_device_fused(buf, row: int, ctx: int, length: int,
     Returns (counts resident [4**W] int32 mirrored, blob uint32)."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    codes = _unpack_codes(buf, row)
-    counts, ltot, suspicious = stream_local_counts(
-        codes, ctx, length, both_strands)
+    counts, ltot, suspicious = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious)
 
@@ -530,18 +566,8 @@ def _stream_counts_i32(buf, row: int, ctx: int, length: int,
     """uint16-overflow refetch: canonical int32 values."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    codes = _unpack_codes(buf, row)
-    fwd, rc, valid = encoding.window_ids(codes, length)
-    skip, _ = _skip_and_ambiguity(codes, valid, length)
-    processed = valid & ~skip
-    core = jnp.arange(valid.shape[1]) >= ctx
-    cids = jnp.where(processed, jnp.minimum(fwd, rc), -1) if both_strands \
-        else jnp.where(processed, fwd, -1)
-    counted, _ = naive_dedup(cids, length)
-    counted = counted & core[None, :]
-    flat_ids = jnp.where(counted, cids, 0).reshape(-1)
-    flat_inc = counted.reshape(-1).astype(jnp.int32)
-    counts = histogram(flat_ids, flat_inc, 4 ** length)
+    counts, _, _ = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands)
     if both_strands:
         return counts[encoding.canonical_idx_flat(length)]
     return counts

@@ -71,18 +71,23 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
 
     from ..ops.counting import _unpack_codes, pack_codes
     from ..ops.stream_count import (
+        _accumulated_local_counts,
         build_stream,
         chunk_rows,
         stream_compact,
         stream_fixup_pairs,
-        stream_local_counts,
     )
     from ..native import mirror_canonical_native
 
     mesh = global_data_mesh()
     n_dev = mesh.devices.size
     stream, lay = build_stream(sequences, length, flat_codes=flat_codes)
-    m_pad = -(-lay.m_pad // n_dev) * n_dev
+    per = -(-lay.m_pad // n_dev)
+    if per > 65536:
+        # per-shard chunk counts above the slab threshold must
+        # align to the slab (see _accumulated_local_counts)
+        per = -(-per // 16384) * 16384
+    m_pad = per * n_dev
     lay = lay._replace(m_pad=m_pad)
     rows = chunk_rows(stream, lay)
     per = m_pad // n_dev
@@ -103,9 +108,8 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
         check_vma=False,
     )
     def shard_count(shard_flat):
-        codes = _unpack_codes(shard_flat.reshape(-1, nb), lay.row)
-        local, local_ltot, susp = stream_local_counts(
-            codes, lay.ctx, length, both)
+        local, local_ltot, susp = _accumulated_local_counts(
+            shard_flat.reshape(-1, nb), lay.row, lay.ctx, length, both)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")
         # replicate the suspicion flags so every process can run the

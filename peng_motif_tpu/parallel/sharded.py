@@ -191,12 +191,18 @@ def stream_count_sharded(
     """
     from ..ops.counting import _unpack_codes, pack_codes  # noqa: PLC0415
     from ..ops.stream_count import (  # noqa: PLC0415
-        build_stream, chunk_rows, stream_compact, stream_local_counts,
+        _accumulated_local_counts, build_stream, chunk_rows,
+        stream_compact,
     )
 
     n_shards = mesh.devices.size
     stream, lay = build_stream(sequences, length, flat_codes=flat_codes)
-    m_pad = -(-lay.m_pad // n_shards) * n_shards
+    per = -(-lay.m_pad // n_shards)
+    if per > 65536:
+        # per-shard chunk counts above the slab threshold must
+        # align to the slab (see _accumulated_local_counts)
+        per = -(-per // 16384) * 16384
+    m_pad = per * n_shards
     lay = lay._replace(m_pad=m_pad)
     rows = chunk_rows(stream, lay)
     packed = pack_codes(rows)
@@ -212,10 +218,11 @@ def stream_count_sharded(
     def shard_count(shard_flat):
         # flat upload (chunk-aligned shards: m_pad % n_shards == 0); a
         # 2-D put pays a per-shape layout-program compile the 1-D put
-        # does not
-        codes = _unpack_codes(shard_flat.reshape(-1, nb), lay.row)
-        local, local_ltot, susp = stream_local_counts(
-            codes, lay.ctx, length, both_strands)
+        # does not.  Slab-accumulated: a giant per-shard chunk count
+        # would otherwise exceed HBM (see _accumulated_local_counts).
+        local, local_ltot, susp = _accumulated_local_counts(
+            shard_flat.reshape(-1, nb), lay.row, lay.ctx, length,
+            both_strands)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")  # int64 (see stream_count)
         counts, vals, max_c = stream_compact(counts, length, both_strands)

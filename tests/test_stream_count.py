@@ -248,3 +248,31 @@ def test_chunked_packed_matches_python_twin():
     want = pack_codes(chunk_rows(stream, lay)).reshape(-1)
     got = chunked_packed(stream, lay)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("both", [True, False], ids=["both", "plus"])
+def test_slab_accumulation_matches_single_pass(both, monkeypatch):
+    """The slabbed count accumulation (chunk counts above _SLAB_MIN run
+    as a fori_loop over fixed slabs to bound device memory) must equal
+    the single-pass program bit-for-bit."""
+    import jax.numpy as jnp
+    from peng_motif_tpu.ops import stream_count as sc
+
+    rng = np.random.default_rng(17)
+    W = 8
+    seqs = [rng.integers(0, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(3, 2000, size=40)]
+    stream, lay = build_stream(seqs, W, row=128)
+    # force a slab-aligned m_pad and a tiny slab so the loop runs
+    slab = 32
+    m_pad = -(-lay.m_pad // slab) * slab
+    lay = lay._replace(m_pad=m_pad)
+    buf = jnp.asarray(sc.chunked_packed(stream, lay))
+    want = sc.stream_count_device_fused(buf, lay.row, lay.ctx, W, both)
+    monkeypatch.setattr(sc, "_SLAB", slab)
+    monkeypatch.setattr(sc, "_SLAB_MIN", slab)
+    sc.stream_count_device_fused._clear_cache()
+    got = sc.stream_count_device_fused(buf, lay.row, lay.ctx, W, both)
+    sc.stream_count_device_fused._clear_cache()  # drop patched trace
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
