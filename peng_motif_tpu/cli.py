@@ -347,6 +347,29 @@ def main(argv=None):
         mesh = make_data_mesh(cfg["devices"])
 
     bg_model_order = max(cfg["bg_model_order"], cfg["max_opt_bg_model_order"])
+
+    def _tpu_engine_resolves() -> bool:
+        if cfg["engine"] == "exact":
+            return False
+        if cfg["engine"] == "tpu":
+            return True
+        import jax  # noqa: PLC0415
+
+        return jax.default_backend() != "cpu"
+
+    # defer: the TPU engine fuses the (k+1)-mer scan into the device
+    # count program (ops/stream_count.stream_bg_counts) and delivers the
+    # counts — no host corpus scan at all.  Only when the bg corpus IS
+    # the input corpus and the fused-histogram gates hold (the engine
+    # re-checks and falls back to a threaded host scan otherwise).
+    defer_bg = (
+        not multihost
+        and bg_path == cfg["input"]
+        and bg_model_order <= 3
+        and cfg["pattern_length"] >= 5  # fused bg needs ctx = 2(W-1) >= 8
+        and not cfg["load_checkpoint"]
+        and _tpu_engine_resolves()
+    )
     if multihost:
         # background (k+1)-mer vectors all-reduced over DCN
         from .parallel.multihost import multihost_bg_counts  # noqa: PLC0415
@@ -354,6 +377,13 @@ def main(argv=None):
         bg_model = BackgroundModel(
             counts=multihost_bg_counts(bg_set.sequences, bg_model_order),
             order=bg_model_order, interpolate=True,
+        )
+    elif defer_bg:
+        # the engine delivers counts from the fused device histogram
+        # (falls back to a synchronous host scan on EngineFallback)
+        bg_model = BackgroundModel(
+            bg_set.sequences, order=bg_model_order, interpolate=True,
+            defer=True,
         )
     elif mesh is not None:
         # sharded (k+1)-mer scan + psum over the mesh

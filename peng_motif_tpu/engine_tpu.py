@@ -360,6 +360,26 @@ def process_tpu(peng, params) -> List[Motif]:
             fix_dv = np.zeros(64, dtype=np.int32)
             v = _bg_v()
         else:
+            # fused device background counting: when the CLI deferred
+            # the bg model (bg set == input set, engine tpu), the
+            # (k+1)-mer histogram rides the count program and only two
+            # O(#seqs + #Ns) host corrections complete it — the 0.7-0.9 s
+            # host bg scan leaves the critical path entirely
+            # (reference serial analogue: BackgroundModel.cpp:59-84)
+            bgm = peng.bg_model
+            flat = getattr(sset, "_flat_codes", None)
+            defer_bg = (getattr(bgm, "deferred", False)
+                        and bgm.order <= 3 and 2 * (W - 1) >= 8)
+            if defer_bg and flat is not None and \
+                    int(np.count_nonzero(flat == 0)) > 20_000_000:
+                # mass-N corpora: the per-N correction scan would rival
+                # the host bg scan it replaces
+                defer_bg = False
+            bg_order = bgm.order if defer_bg else -1
+            if not defer_bg:
+                bgm_start = getattr(bgm, "start_host_counting", None)
+                if bgm_start is not None:
+                    bgm_start()
             if params.mesh is not None:
                 # sharded stream counting + psum: chunks shard over the
                 # data axis (long contigs split with exact halos), one
@@ -368,10 +388,10 @@ def process_tpu(peng, params) -> List[Motif]:
                 from .parallel.sharded import (  # noqa: PLC0415
                     stream_count_sharded)
 
-                counts_dev, vals_u16, max_c, ltot_dev, susp_dev, stream, \
-                    lay = stream_count_sharded(
+                counts_dev, vals_u16, max_c, ltot_dev, susp_dev, bg_dev, \
+                    stream, lay = stream_count_sharded(
                         sset.sequences, W, both, params.mesh,
-                        flat_codes=getattr(sset, "_flat_codes", None))
+                        flat_codes=flat, bg_order=bg_order)
             else:
                 # stream layout: ragged-exact, long-contig halo chunks,
                 # shape-stable compiles (ops/stream_count.py)
@@ -382,26 +402,56 @@ def process_tpu(peng, params) -> List[Motif]:
 
                 mark("start")
                 stream, lay = build_stream(
-                    sset.sequences, W,
-                    flat_codes=getattr(sset, "_flat_codes", None))
+                    sset.sequences, W, flat_codes=flat)
                 mark("build_stream")
                 # fused native chunk+pack; 1-D upload (a 2-D put pays
                 # a per-shape layout-program compile)
                 buf = jnp.asarray(chunked_packed(stream, lay))
                 mark("pack+h2d")
                 counts_dev, blob_dev = stream_count_device_fused(
-                    buf, lay.row, lay.ctx, W, both)
+                    buf, lay.row, lay.ctx, W, both, bg_order)
                 mark("count dispatch")
-                v = _bg_v()  # overlaps the in-flight device count
+                if defer_bg:
+                    from .models.background import (  # noqa: PLC0415
+                        bg_device_corrections)
+
+                    bg_corr = bg_device_corrections(
+                        sset.sequences, bgm.order, flat_codes=flat,
+                        lengths=lay.lengths)
+                else:
+                    v = _bg_v()  # overlaps the in-flight device count
                 mark("bg model")
                 n_canon = _n_canonical(W) if both else 4 ** W
-                ltot, max_c, susp_np, vals = split_fetch_blob(
-                    jax.device_get(blob_dev), lay.m_pad, n_canon)
+                ltot, max_c, susp_np, vals, bg_words = split_fetch_blob(
+                    jax.device_get(blob_dev), lay.m_pad, n_canon, bg_order)
+                if defer_bg:
+                    from .ops.stream_count import bg_offset  # noqa: PLC0415
+
+                    bgm.provide_counts([
+                        bg_words[bg_offset(k) : bg_offset(k) + 4 ** (k + 1)]
+                        + bg_corr[k] for k in range(bgm.order + 1)])
+                    v = _bg_v()
                 mark("blob fetch")
             if params.mesh is not None:
-                v = _bg_v()  # overlaps the in-flight device count
-                vals, max_c, ltot, susp_np = jax.device_get(
-                    (vals_u16, max_c, ltot_dev, susp_dev))
+                if defer_bg:
+                    from .models.background import (  # noqa: PLC0415
+                        bg_device_corrections)
+                    from .ops.stream_count import bg_offset  # noqa: PLC0415
+
+                    bg_corr = bg_device_corrections(
+                        sset.sequences, bgm.order, flat_codes=flat,
+                        lengths=lay.lengths)
+                    vals, max_c, ltot, susp_np, bg_words = jax.device_get(
+                        (vals_u16, max_c, ltot_dev, susp_dev, bg_dev))
+                    bgm.provide_counts([
+                        np.asarray(bg_words, dtype=np.int64)[
+                            bg_offset(k) : bg_offset(k) + 4 ** (k + 1)]
+                        + bg_corr[k] for k in range(bgm.order + 1)])
+                    v = _bg_v()
+                else:
+                    v = _bg_v()  # overlaps the in-flight device count
+                    vals, max_c, ltot, susp_np = jax.device_get(
+                        (vals_u16, max_c, ltot_dev, susp_dev))
             ltot = int(ltot)
             if int(max_c) > np.iinfo(np.uint16).max:
                 vals = np.asarray(_compact_counts_i32(counts_dev, W, both))

@@ -41,6 +41,7 @@ class BackgroundModel:
         name: str = "",
         counts: Optional[List[np.ndarray]] = None,
         lazy: bool = False,
+        defer: bool = False,
     ):
         """Build from encoded sequences (BaMM codes, 0 = N) or raw counts.
 
@@ -57,6 +58,11 @@ class BackgroundModel:
             joins it.  Lets the (k+1)-mer scan over the corpus overlap
             the device count dispatch (the reference's serial analogue:
             BackgroundModel.cpp:59-84 runs before Peng::process).
+          defer: don't count at all — the TPU engine delivers counts via
+            :meth:`provide_counts` (fused device histogram + host
+            corrections).  If ``n``/``v`` are accessed before delivery
+            (engine fallback, checkpoint path), counting runs
+            synchronously on host.
         """
         self.order = order
         self.alpha = np.asarray(
@@ -68,11 +74,15 @@ class BackgroundModel:
         self.name = name
 
         self._count_thread = None
+        self._defer_sequences = None
         if counts is not None:
             self._n = [np.asarray(c, dtype=np.int64) for c in counts]
             self._v = self._calculate_v()
         elif sequences is not None:
-            if lazy:
+            if defer:
+                self._n = self._v = None
+                self._defer_sequences = sequences
+            elif lazy:
                 import threading  # noqa: PLC0415
 
                 self._n = self._v = None
@@ -89,10 +99,45 @@ class BackgroundModel:
         else:
             raise ValueError("either sequences or counts required")
 
+    @property
+    def deferred(self) -> bool:
+        """True while this model is waiting for engine-delivered counts."""
+        return self._defer_sequences is not None and self._n is None
+
+    def provide_counts(self, counts: List[np.ndarray]):
+        """Deliver externally computed (k+1)-mer count vectors (the TPU
+        engine's fused device histogram + host corrections)."""
+        self._n = [np.asarray(c, dtype=np.int64) for c in counts]
+        self._v = self._calculate_v()
+        self._defer_sequences = None
+
+    def start_host_counting(self):
+        """Deferred model, but the engine decided not to count on device
+        (gate failed): begin the threaded host scan now so it overlaps
+        the remaining dispatch work."""
+        if not self.deferred:
+            return
+        sequences, order = self._defer_sequences, self.order
+        self._defer_sequences = None
+        import threading  # noqa: PLC0415
+
+        def _run():
+            self._n = count_kmers(sequences, order)
+            self._v = self._calculate_v()
+
+        self._count_thread = threading.Thread(target=_run, daemon=True)
+        self._count_thread.start()
+
     def _join(self):
         if self._count_thread is not None:
             self._count_thread.join()
             self._count_thread = None
+        elif self.deferred:
+            # accessed before the engine delivered: count synchronously
+            sequences = self._defer_sequences
+            self._defer_sequences = None
+            self._n = count_kmers(sequences, self.order)
+            self._v = self._calculate_v()
 
     @property
     def n(self) -> Optional[List[np.ndarray]]:
@@ -209,6 +254,7 @@ class BackgroundModel:
         model.interpolate = path.endswith(".hbcp")
         model.name = os.path.basename(path).rsplit(".", 1)[0]
         model._count_thread = None
+        model._defer_sequences = None
         model._n = None
         model._v = v
         return model
@@ -259,6 +305,94 @@ def count_kmers(sequences: Sequence[np.ndarray], order: int) -> List[np.ndarray]
         ok = (idx[None, :] >= k) & in_seq & ((~any_n9) | (v == 0))
         counts.append(
             np.bincount(v[ok], minlength=4 ** (k + 1)).astype(np.int64))
+    return counts
+
+
+def bg_device_corrections(
+    sequences: Sequence[np.ndarray],
+    order: int,
+    flat_codes: Optional[np.ndarray] = None,
+    lengths: Optional[np.ndarray] = None,
+) -> List[np.ndarray]:
+    """Exact host completion of the fused device background histogram.
+
+    The device counts a (k+1)-mer window ending at stream position t iff
+    the 9 stream positions t-8..t are all non-zero
+    (ops/stream_count.stream_bg_counts).  Relative to the reference rule
+    — count iff (no N among in-sequence positions max(0,i-8)..i) or the
+    window value is 0 (src/shared/BackgroundModel.cpp:73-81, N-sentinel
+    quirk in Sequence.cpp:28-33) — the device misses exactly two
+    disjoint classes, both returned here as additive count vectors:
+
+    1. ends i <= 7 of every sequence with an N-free prefix 0..i (the
+       stream lookback reaches the inter-sequence gap / chunk-0 zero
+       padding, so the device never counts them);
+    2. tainted windows whose value is 0 — an N within the lookback
+       (so never device-counted) but every in-window defined letter
+       is A (the reference's signed-modulo rescue counts these as
+       all-A).
+
+    Class 2 windows have an N inside positions 0..i, class 1 requires
+    none — disjoint; everything with i >= 8 and a clean in-sequence
+    lookback is counted identically by the device.  Cost: O(#sequences
+    + #Ns), independent of corpus size.
+    """
+    counts = [np.zeros(4 ** (k + 1), dtype=np.int64)
+              for k in range(order + 1)]
+    n = len(sequences)
+    if n == 0:
+        return counts
+    if lengths is None:
+        lengths = np.array([len(s) for s in sequences], dtype=np.int64)
+    else:
+        lengths = np.asarray(lengths, dtype=np.int64)
+    if flat_codes is None or flat_codes.shape[0] != int(lengths.sum()):
+        flat_codes = np.concatenate(
+            [np.asarray(s, dtype=np.uint8) for s in sequences]) \
+            if int(lengths.sum()) else np.zeros(0, dtype=np.uint8)
+    offsets = np.zeros(n, dtype=np.int64)
+    offsets[1:] = np.cumsum(lengths[:-1])
+
+    # --- class 1: clean-prefix ends i in [k, min(7, L-1)] --------------
+    first8 = np.zeros((n, 8), dtype=np.int64)
+    i_idx = np.arange(8)
+    take = i_idx[None, :] < lengths[:, None]
+    first8[take] = flat_codes[
+        (offsets[:, None] + i_idx[None, :])[take]]
+    clean = np.cumprod(first8 > 0, axis=1).astype(bool)
+    nonneg = np.maximum(first8 - 1, 0)
+    vk = np.zeros((n, 8), dtype=np.int64)
+    for k in range(order + 1):
+        if k == 0:
+            vk = nonneg.copy()
+        else:
+            shifted = np.zeros((n, 8), dtype=np.int64)
+            shifted[:, k:] = nonneg[:, : 8 - k]
+            vk = vk + shifted * (4 ** k)
+        mask = clean & take & (i_idx[None, :] >= k)
+        if mask.any():
+            counts[k] += np.bincount(vk[mask], minlength=4 ** (k + 1))
+
+    # --- class 2: tainted all-A windows near real Ns -------------------
+    n_flat = np.flatnonzero(flat_codes == 0)
+    if n_flat.size:
+        seq_of = np.searchsorted(offsets, n_flat, side="right") - 1
+        pos_in = n_flat - offsets[seq_of]
+        cand_seq = np.repeat(seq_of, 9)
+        cand_end = (pos_in[:, None] + np.arange(9)[None, :]).reshape(-1)
+        ok = cand_end < lengths[cand_seq]
+        cand_seq, cand_end = cand_seq[ok], cand_end[ok]
+        key = cand_seq * (int(lengths.max()) + 1) + cand_end
+        uniq = np.unique(key)
+        u_seq = uniq // (int(lengths.max()) + 1)
+        u_end = uniq % (int(lengths.max()) + 1)
+        for k in range(order + 1):
+            sel = u_end >= k
+            s, e = u_seq[sel], u_end[sel]
+            all_a = np.ones(s.shape[0], dtype=bool)
+            for j in range(k + 1):
+                all_a &= flat_codes[offsets[s] + e - j] <= 1
+            counts[k][0] += int(np.count_nonzero(all_a))
     return counts
 
 

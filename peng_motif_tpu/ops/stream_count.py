@@ -103,7 +103,12 @@ def make_layout(lengths: Sequence[int], W: int, row: int = ROW
     assert core > 0, "row too small for this W"
     n = lengths.shape[0]
     gaps = W * max(n - 1, 0)
-    S = int(lengths.sum()) + gaps
+    # W-1 trailing zeros: every *position* of the stream (not just every
+    # W-window start) then lies in exactly one chunk core, so the fused
+    # background (k+1)-mer histogram (stream_local_counts bg_order) covers
+    # the tail of the last sequence.  The extra windows contain zeros and
+    # are invalid, so W-mer counts and ltot are unchanged.
+    S = int(lengths.sum()) + gaps + (W - 1 if n else 0)
     seq_starts = np.zeros(n, dtype=np.int64)
     if n:
         seq_starts[1:] = np.cumsum(lengths[:-1] + W)
@@ -195,26 +200,86 @@ def _skip_and_ambiguity(codes: jax.Array, valid: jax.Array, length: int):
     return skip.reshape(b, m * d)[:, :n_win], ambiguous
 
 
+def bg_nbins(bg_order: int) -> int:
+    """Combined (lane-aligned) bin count of the fused background
+    histogram: orders 0..bg_order concatenated at offsets
+    ``bg_offset(k)``, padded to a multiple of 128."""
+    raw = sum(4 ** (k + 1) for k in range(bg_order + 1))
+    return -(-raw // 128) * 128
+
+
+def bg_offset(k: int) -> int:
+    return sum(4 ** (j + 1) for j in range(k))
+
+
+def stream_bg_counts(codes: jax.Array, ctx: int, core: int, bg_order: int):
+    """Fused background (k+1)-mer histogram over the chunk batch.
+
+    Device rule (see models/background.bg_device_corrections for the
+    host-side completion): a window *ending* at core position q counts
+    for every order k iff the 9 stream positions q-8..q are all defined
+    (non-zero) — the reference's fixed 9-position N-lookback
+    (src/shared/Sequence.cpp:28-33, BackgroundModel.cpp:73-81) evaluated
+    over the gap-packed stream, where inter-sequence gap zeros and the
+    chunk-0 left padding read as Ns.  The rule therefore (a) never
+    counts a window crossing a sequence boundary, (b) misses windows
+    ending at in-sequence positions <= 7 and the reference's
+    "tainted but value 0" quirk windows — both repaired exactly by the
+    host corrections.  Requires ctx >= 8 (callers gate on W >= 6).
+
+    Returns one int32 vector of length :func:`bg_nbins` holding the
+    order-k counts at offset :func:`bg_offset`; every count is an exact
+    integer (same histogram machinery as the W-mer table).
+    """
+    assert ctx >= 8, "bg lookback needs 8 context positions"
+    b, row = codes.shape
+    pos = codes > 0
+    clean = pos
+    for j in range(1, 9):
+        clean = clean & jnp.pad(pos[:, :-j], ((0, 0), (j, 0)))
+    q = jnp.arange(row, dtype=jnp.int32)
+    core_pos = (q >= ctx) & (q < ctx + core)
+    counted = clean & core_pos[None, :]
+    nonneg = jnp.maximum(codes.astype(jnp.int32) - 1, 0)
+    nbins = bg_nbins(bg_order)
+    ids_k = []
+    vk = nonneg
+    for k in range(bg_order + 1):
+        if k > 0:
+            vk = vk + jnp.pad(nonneg[:, :-k], ((0, 0), (k, 0))) * (4 ** k)
+        ids_k.append(vk + jnp.int32(bg_offset(k)))
+    flat_ids = jnp.stack(ids_k).reshape(-1)
+    flat_inc = jnp.broadcast_to(
+        counted, (bg_order + 1, b, row)).reshape(-1).astype(jnp.int32)
+    return histogram(flat_ids, flat_inc, nbins)
+
+
 def stream_local_counts(codes: jax.Array, ctx: int, length: int,
-                        both_strands: bool):
+                        both_strands: bool, bg_order: int = -1):
     """Per-chunk-batch raw counting: (counts [4**W] int32 un-mirrored,
-    ltot, suspicious [rows]).  The shard-mapped mesh path psums these
-    before the canonical compaction."""
+    ltot, suspicious [rows], bg) — ``bg`` is the fused background
+    histogram (:func:`stream_bg_counts`) when ``bg_order >= 0``, else
+    None.  The shard-mapped mesh path psums these before the canonical
+    compaction."""
     fwd, rc, valid = encoding.window_ids(codes, length)
     skip, ambiguous = _skip_and_ambiguity(codes, valid, length)
     processed = valid & ~skip
-    core = jnp.arange(valid.shape[1]) >= ctx
+    core_win = jnp.arange(valid.shape[1]) >= ctx
     cids = jnp.where(processed, jnp.minimum(fwd, rc), -1) if both_strands \
         else jnp.where(processed, fwd, -1)
     counted, susp = naive_dedup(cids, length)
-    counted = counted & core[None, :]
+    counted = counted & core_win[None, :]
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = histogram(flat_ids, flat_inc, 4 ** length)
     # int64: an int32 sum would wrap at 2**31 processed windows and
     # the engine's ltot guard could never fire
-    ltot = (processed & core[None, :]).astype(jnp.int64).sum()
-    return counts, ltot, susp | ambiguous
+    ltot = (processed & core_win[None, :]).astype(jnp.int64).sum()
+    bg = None
+    if bg_order >= 0:
+        core = codes.shape[1] - length + 1 - ctx
+        bg = stream_bg_counts(codes, ctx, core, bg_order)
+    return counts, ltot, susp | ambiguous, bg
 
 
 def stream_compact(counts: jax.Array, length: int, both_strands: bool):
@@ -246,26 +311,35 @@ _SLAB_MIN = 65536
 
 
 def _accumulated_local_counts(buf2d, row: int, ctx: int, length: int,
-                              both_strands: bool):
-    """(counts [4**W] int32 un-mirrored, ltot int64, susp [m_pad]):
-    single pass for small chunk counts, slab fori_loop otherwise."""
+                              both_strands: bool, bg_order: int = -1):
+    """(counts [4**W] int32 un-mirrored, ltot int64, susp [m_pad], bg):
+    single pass for small chunk counts, slab fori_loop otherwise.  ``bg``
+    is the fused background histogram when ``bg_order >= 0``, else
+    None."""
     m_pad = buf2d.shape[0]
     if m_pad <= _SLAB_MIN:
         codes = _unpack_codes(buf2d, row)
-        return stream_local_counts(codes, ctx, length, both_strands)
+        return stream_local_counts(codes, ctx, length, both_strands,
+                                   bg_order)
     assert m_pad % _SLAB == 0, "bucket ladder must align to _SLAB"
+    with_bg = bg_order >= 0
 
     def body(k, st):
-        counts, ltot, susp = st
+        counts, ltot, susp, bg = st
         sl = jax.lax.dynamic_slice_in_dim(buf2d, k * _SLAB, _SLAB, axis=0)
         codes = _unpack_codes(sl, row)
-        c, lt, sp = stream_local_counts(codes, ctx, length, both_strands)
+        c, lt, sp, b = stream_local_counts(codes, ctx, length, both_strands,
+                                           bg_order)
         susp = jax.lax.dynamic_update_slice_in_dim(susp, sp, k * _SLAB, 0)
-        return counts + c, ltot + lt, susp
+        return counts + c, ltot + lt, susp, (bg + b if with_bg else bg)
 
     init = (jnp.zeros(4 ** length, dtype=jnp.int32), jnp.int64(0),
-            jnp.zeros(m_pad, dtype=jnp.bool_))
-    return jax.lax.fori_loop(0, m_pad // _SLAB, body, init)
+            jnp.zeros(m_pad, dtype=jnp.bool_),
+            jnp.zeros(bg_nbins(bg_order), dtype=jnp.int32) if with_bg
+            else jnp.zeros((), dtype=jnp.int32))
+    counts, ltot, susp, bg = jax.lax.fori_loop(
+        0, m_pad // _SLAB, body, init)
+    return counts, ltot, susp, (bg if with_bg else None)
 
 
 @functools.partial(
@@ -283,15 +357,16 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
     corpus on the tunneled backend) that the 1-D put does not."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    counts, ltot, suspicious = _accumulated_local_counts(
+    counts, ltot, suspicious, _ = _accumulated_local_counts(
         buf, row, ctx, length, both_strands)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, vals, max_c, ltot, suspicious
 
 
-def _pack_fetch_blob(vals_u16, max_c, ltot, susp):
+def _pack_fetch_blob(vals_u16, max_c, ltot, susp, bg=None):
     """One uint32 vector holding every non-resident output: [ltot,
-    max_count, susp bitpacked (32 chunks/word), vals (2 u16/word)].
+    max_count, susp bitpacked (32 chunks/word), bg counts (int32-as-u32,
+    when fused bg counting is on), vals (2 u16/word)].
     The tunneled backend pays a full round trip *per fetched array*
     (~0.2-1 s each); one blob makes the post-count sync a single fetch."""
     m = susp.shape[0]
@@ -306,35 +381,49 @@ def _pack_fetch_blob(vals_u16, max_c, ltot, susp):
         # clamp: ltot >= 2**31 must still be visible to the host guard
         jnp.minimum(ltot, (1 << 32) - 1).astype(jnp.uint32),
         max_c.astype(jnp.uint32)])
-    return jnp.concatenate([head, susp_words, vals_words])
+    parts = [head, susp_words]
+    if bg is not None:
+        parts.append(bg.astype(jnp.uint32))
+    parts.append(vals_words)
+    return jnp.concatenate(parts)
 
 
-def split_fetch_blob(blob_np: np.ndarray, m: int, n_canonical: int):
+def split_fetch_blob(blob_np: np.ndarray, m: int, n_canonical: int,
+                     bg_order: int = -1):
     """Host inverse of :func:`_pack_fetch_blob`: (ltot, max_count,
-    susp bool [m], vals uint16 [n_canonical])."""
+    susp bool [m], vals uint16 [n_canonical], bg int64 [bg_nbins] or
+    None)."""
     blob_np = np.ascontiguousarray(blob_np, dtype=np.uint32)
     ltot, max_c = int(blob_np[0]), int(blob_np[1])
     nw = -(-m // 32)
     susp = np.unpackbits(
         blob_np[2 : 2 + nw].view(np.uint8), bitorder="little")[:m].astype(
         bool)
-    vals = blob_np[2 + nw :].view(np.uint16)[:n_canonical]
-    return ltot, max_c, susp, vals
+    off = 2 + nw
+    bg = None
+    if bg_order >= 0:
+        nb = bg_nbins(bg_order)
+        bg = blob_np[off : off + nb].astype(np.int64)
+        off += nb
+    vals = blob_np[off:].view(np.uint16)[:n_canonical]
+    return ltot, max_c, susp, vals, bg
 
 
 @functools.partial(
-    jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
+    jax.jit,
+    static_argnames=("row", "ctx", "length", "both_strands", "bg_order"))
 def stream_count_device_fused(buf, row: int, ctx: int, length: int,
-                              both_strands: bool):
+                              both_strands: bool, bg_order: int = -1):
     """:func:`stream_count_device` with all non-resident outputs packed
-    into a single uint32 fetch blob (see :func:`_pack_fetch_blob`).
+    into a single uint32 fetch blob (see :func:`_pack_fetch_blob`), and
+    optionally the fused background histogram (``bg_order >= 0``).
     Returns (counts resident [4**W] int32 mirrored, blob uint32)."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    counts, ltot, suspicious = _accumulated_local_counts(
-        buf, row, ctx, length, both_strands)
+    counts, ltot, suspicious, bg = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands, bg_order)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
-    return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious)
+    return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious, bg)
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +655,7 @@ def _stream_counts_i32(buf, row: int, ctx: int, length: int,
     """uint16-overflow refetch: canonical int32 values."""
     if buf.ndim == 1:
         buf = buf.reshape(-1, row_nbytes(row))
-    counts, _, _ = _accumulated_local_counts(
+    counts, _, _, _ = _accumulated_local_counts(
         buf, row, ctx, length, both_strands)
     if both_strands:
         return counts[encoding.canonical_idx_flat(length)]

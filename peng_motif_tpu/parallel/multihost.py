@@ -108,7 +108,7 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
         check_vma=False,
     )
     def shard_count(shard_flat):
-        local, local_ltot, susp = _accumulated_local_counts(
+        local, local_ltot, susp, _ = _accumulated_local_counts(
             shard_flat.reshape(-1, nb), lay.row, lay.ctx, length, both)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")

@@ -178,16 +178,18 @@ def count_device_full_sharded(
 
 def stream_count_sharded(
     sequences, length: int, both_strands: bool, mesh: Mesh,
-    flat_codes: np.ndarray | None = None,
+    flat_codes: np.ndarray | None = None, bg_order: int = -1,
 ):
     """Stream counting (ops/stream_count.py) with chunks sharded over
     the mesh's data axis: each device scans its slice of the gap-packed
     stream — a single long contig shards with exact 2(W-1)-window halo
     overlap (SURVEY.md section 5's long-context rule) — and one integer
     psum replicates the mirrored table for the table-local phases.
+    ``bg_order >= 0`` additionally psums the fused background histogram
+    (ops/stream_count.stream_bg_counts) over the same collective.
 
     Returns (counts_dev replicated resident, vals_u16, max_c, ltot,
-    suspicious [m_pad], stream, layout).
+    suspicious [m_pad], bg (device, or None), stream, layout).
     """
     from ..ops.counting import _unpack_codes, pack_codes  # noqa: PLC0415
     from ..ops.stream_count import (  # noqa: PLC0415
@@ -209,29 +211,34 @@ def stream_count_sharded(
 
     nb = packed.shape[1]
 
+    with_bg = bg_order >= 0
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P("data"),
-        out_specs=(P(), P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P(), P("data"), P()),
     )
     def shard_count(shard_flat):
         # flat upload (chunk-aligned shards: m_pad % n_shards == 0); a
         # 2-D put pays a per-shape layout-program compile the 1-D put
         # does not.  Slab-accumulated: a giant per-shard chunk count
         # would otherwise exceed HBM (see _accumulated_local_counts).
-        local, local_ltot, susp = _accumulated_local_counts(
+        local, local_ltot, susp, local_bg = _accumulated_local_counts(
             shard_flat.reshape(-1, nb), lay.row, lay.ctx, length,
-            both_strands)
+            both_strands, bg_order)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")  # int64 (see stream_count)
+        bg = jax.lax.psum(local_bg, "data") if with_bg else (
+            jnp.zeros((), dtype=jnp.int32))
         counts, vals, max_c = stream_compact(counts, length, both_strands)
-        return counts, vals, max_c, ltot, susp
+        return counts, vals, max_c, ltot, susp, bg
 
     arr = jax.device_put(
         jnp.asarray(packed.reshape(-1)), NamedSharding(mesh, P("data")))
-    counts_dev, vals, max_c, ltot, susp = jax.jit(shard_count)(arr)
-    return counts_dev, vals, max_c, ltot, susp, stream, lay
+    counts_dev, vals, max_c, ltot, susp, bg = jax.jit(shard_count)(arr)
+    return (counts_dev, vals, max_c, ltot, susp,
+            bg if with_bg else None, stream, lay)
 
 
 def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):

@@ -135,9 +135,11 @@ def test_layout_geometry():
     stream, lay2 = build_stream(
         [np.ones(300, np.uint8), np.ones(5, np.uint8) * 2,
          np.ones(700, np.uint8) * 3], 8, row=128)
-    assert lay2.stream_len == 300 + 8 + 5 + 8 + 700
+    # W-1 trailing zeros complete background end-position coverage
+    assert lay2.stream_len == 300 + 8 + 5 + 8 + 700 + 7
     assert (stream[300:308] == 0).all()
     assert (stream[308:313] == 2).all()
+    assert (stream[-7:] == 0).all()
     rows = chunk_rows(stream, lay2)
     assert rows.shape == (lay2.m_pad, 128)
     # chunk c core starts at stream position c*core; its row begins ctx
@@ -163,7 +165,8 @@ def test_long_contig_sharded_mesh():
     s[rng.random(60_000) < 0.01] = 0
     mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
     W, both = 8, True
-    counts_dev, vals, max_c, ltot, susp, stream, lay = stream_count_sharded(
+    counts_dev, vals, max_c, ltot, susp, _bg, stream, lay = \
+        stream_count_sharded(
         [s], W, both, mesh)
     from peng_motif_tpu.ops.counting import _np_canonical_mask_flat
     vals_np, susp_np, ltot = (np.asarray(vals), np.asarray(susp), int(ltot))
