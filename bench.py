@@ -97,7 +97,9 @@ def _tol_diff(got_path, want_path, tol, rel):
             if x == y:
                 continue
             try:
-                if abs(float(x) - float(y)) > tol + rel * abs(float(y)):
+                # inverted predicate: a NaN token must FAIL, not pass
+                if not (abs(float(x) - float(y))
+                        <= tol + rel * abs(float(y))):
                     return "FAIL"
             except ValueError:
                 return "FAIL"
@@ -166,7 +168,9 @@ def _parity(out_path, w):
             if x == y:
                 continue
             try:
-                if abs(float(x) - float(y)) > 5e-6 + 1e-6 * abs(float(y)):
+                # inverted predicate: a NaN token must FAIL, not pass
+                if not (abs(float(x) - float(y))
+                        <= 5e-6 + 1e-6 * abs(float(y))):
                     return "FAIL"
             except ValueError:
                 return "FAIL"

@@ -84,6 +84,42 @@ class EngineFallback(Exception):
     reruns the exact engine."""
 
 
+_backend_probe_ok: bool | None = None
+
+
+def _backend_responsive() -> bool:
+    """Watchdog for a wedged device backend (tunneled TPUs can hang
+    mid-transfer, and a hung ``device_get`` is uninterruptible): run a
+    tiny dispatch+fetch on a daemon thread and give it
+    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  Probed
+    once per process; on timeout the engine falls back to the exact
+    host path instead of hanging forever (the reference binary,
+    src/main.cpp, can never hang — neither may we)."""
+    global _backend_probe_ok
+    if _backend_probe_ok is not None:
+        return _backend_probe_ok
+    import os
+    import threading
+
+    timeout = float(os.environ.get("PENG_DEVICE_TIMEOUT", "75"))
+    if timeout <= 0:
+        _backend_probe_ok = True
+        return True
+    done = threading.Event()
+
+    def _probe():
+        try:
+            jax.device_get(jnp.ones((8,), jnp.float32).sum())
+            done.set()
+        except Exception:  # backend init failure counts as wedged
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    _backend_probe_ok = done.wait(timeout)
+    return _backend_probe_ok
+
+
 # ---------------------------------------------------------------------------
 # device programs
 # ---------------------------------------------------------------------------
@@ -317,6 +353,8 @@ def process_tpu(peng, params) -> List[Motif]:
     if sset.n == 0 or sset.max_l < W:
         # degenerate inputs take the exact engine
         raise EngineFallback("degenerate input")
+    if not _backend_responsive():
+        raise EngineFallback("device backend unresponsive (watchdog)")
 
     out = peng.out
     peng._status(f"Processing kmers of length {W}", leading_newline=False)

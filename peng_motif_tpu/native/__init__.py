@@ -819,27 +819,33 @@ def stream_fixup_delta_native(
     seq_starts = np.ascontiguousarray(seq_starts, dtype=np.int64)
     seq_lens = np.ascontiguousarray(seq_lens, dtype=np.int64)
     susp_chunks = np.ascontiguousarray(susp_chunks, dtype=np.int64)
+    # retry with doubled buffers on capacity overflow (n < 0): falling
+    # back to the interpreter-speed Python twin on a repeat-heavy corpus
+    # would defeat the reason this native path exists
     cap = 1 << 20
-    out_ids = np.empty(cap, dtype=np.int64)
-    out_dv = np.empty(cap, dtype=np.int32)
-    ltot_delta = ctypes.c_int64(0)
-    n = lib.stream_fixup_native(
-        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(stream.shape[0]),
-        seq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.c_int64(seq_starts.shape[0]),
-        susp_chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.c_int64(susp_chunks.shape[0]),
-        ctypes.c_int64(w), ctypes.c_int64(row), ctypes.c_int64(core),
-        ctypes.c_int64(ctx), ctypes.c_int(1 if both else 0),
-        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        out_dv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.c_int64(cap), ctypes.byref(ltot_delta),
-    )
-    if n < 0:
-        return None
-    return out_ids[:n], out_dv[:n], int(ltot_delta.value)
+    while True:
+        out_ids = np.empty(cap, dtype=np.int64)
+        out_dv = np.empty(cap, dtype=np.int32)
+        ltot_delta = ctypes.c_int64(0)
+        n = lib.stream_fixup_native(
+            stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(stream.shape[0]),
+            seq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(seq_starts.shape[0]),
+            susp_chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(susp_chunks.shape[0]),
+            ctypes.c_int64(w), ctypes.c_int64(row), ctypes.c_int64(core),
+            ctypes.c_int64(ctx), ctypes.c_int(1 if both else 0),
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_dv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap), ctypes.byref(ltot_delta),
+        )
+        if n >= 0:
+            return out_ids[:n], out_dv[:n], int(ltot_delta.value)
+        if cap >= (1 << 28):  # > the 4**14 distinct-id bound: give up
+            return None
+        cap *= 2
 
 
 def build_stream_fill_native(flat: np.ndarray, lengths: np.ndarray,

@@ -139,7 +139,7 @@ def _count_device(codes: jax.Array, length: int, both_strands: bool):
         rc_ids = encoding.rc_ids_flat(length)
         counts = jnp.where(canon, counts, counts[rc_ids])
 
-    ltot = valid.astype(jnp.int32).sum()
+    ltot = valid.astype(jnp.int64).sum()
     return counts, ltot, suspicious
 
 
@@ -228,7 +228,7 @@ def _count_device_packed(buf, seq_len: int, length: int,
     flat_ids = jnp.where(counted, cids, 0).reshape(-1)
     flat_inc = counted.reshape(-1).astype(jnp.int32)
     counts = histogram(flat_ids, flat_inc, 4 ** length)
-    ltot = valid.astype(jnp.int32).sum()
+    ltot = valid.astype(jnp.int64).sum()
 
     if both_strands:
         canon = encoding.canonical_mask_flat(length)
@@ -293,7 +293,7 @@ def count_device_full(buf, seq_len: int, length: int, both_strands: bool):
         counts = jnp.where(canon, counts, counts[rc_ids])
     else:
         vals = counts
-    ltot = valid.astype(jnp.int32).sum()
+    ltot = valid.astype(jnp.int64).sum()
     return counts, vals.astype(jnp.uint16), vals.max(), ltot, suspicious
 
 

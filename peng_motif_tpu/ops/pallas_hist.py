@@ -87,6 +87,10 @@ def _hist_kernel(ids_ref, out_ref, *, nhi: int, block: int):
 def mxu_histogram(flat_ids, flat_inc, n_bins: int):
     """counts [n_bins] int32 = scatter-add of ``flat_inc`` (0/1) at
     ``flat_ids`` (callers guarantee :func:`histogram_supported`)."""
+    if flat_ids.shape[0] == 0:
+        # a zero-size grid would skip the @pl.when init and return
+        # uninitialized memory
+        return jnp.zeros(n_bins, dtype=jnp.int32)
     block = _block_for(n_bins)
     # trash bin: first slot of the extra hi row.  Everything pinned to
     # int32: under the package's jax_enable_x64 a bare Python constant
@@ -104,9 +108,7 @@ def mxu_histogram(flat_ids, flat_inc, n_bins: int):
     # enables it for C++ double-promotion parity): under x64 the
     # generated module trips the TPU compiler.  Every value here is
     # explicit int32, so tracing the kernel in 32-bit mode is lossless.
-    from jax._src.config import enable_x64  # noqa: PLC0415
-
-    with enable_x64(False):
+    with jax.enable_x64(False):
         out = pl.pallas_call(
             functools.partial(_hist_kernel, nhi=nhi, block=block),
             grid=(g,),

@@ -121,8 +121,25 @@ def multihost_stream_counts(sequences: Sequence[np.ndarray], length: int,
     sharding = NamedSharding(mesh, P("data"))
     arr = jax.make_array_from_process_local_data(sharding, local_flat)
     vals, max_c, ltot, susp = jax.device_get(jax.jit(shard_count)(arr))
-    assert int(max_c) <= np.iinfo(np.uint16).max, \
-        "u16 overflow refetch not wired for multihost"
+    if int(max_c) > np.iinfo(np.uint16).max:
+        # u16 overflow (repeat-heavy corpus, e.g. poly-A at w8 in a real
+        # genome): re-fetch the canonical slice in int32 through the
+        # same collective (single-host twin: engine_tpu.py
+        # _compact_counts_i32; reference counts in size_t,
+        # src/base_pattern.cpp:29-57)
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+        def shard_count_i32(shard_flat):
+            local, _, _, _ = _accumulated_local_counts(
+                shard_flat.reshape(-1, nb), lay.row, lay.ctx, length, both)
+            counts = jax.lax.psum(local, "data")
+            if both:
+                from ..ops import encoding  # noqa: PLC0415
+
+                return counts[encoding.canonical_idx_flat(length)]
+            return counts
+
+        vals = jax.device_get(jax.jit(shard_count_i32)(arr))
 
     if both:
         counts_np = mirror_canonical_native(vals, length)

