@@ -186,3 +186,14 @@ def test_watchdog_probe_ok_on_live_backend(monkeypatch):
     monkeypatch.setattr(et, "_backend_probe_ok", None)
     assert et._backend_responsive()
     assert et._backend_probe_ok is True
+
+
+@pytest.mark.slow
+def test_tpu_engine_parity_w12(tmp_path):
+    """w12 through the TPU engine: the MXU histogram gates itself off
+    (4**12 bins > its VMEM cap) and the XLA scatter path must count
+    correctly; stats/EM run on 4**12 flat tables (round-3 verdict
+    missing #2)."""
+    argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "12",
+            "--engine", "tpu"]
+    _run_and_diff_tol(argv, "mafk100_w12", tmp_path)

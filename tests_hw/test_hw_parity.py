@@ -46,6 +46,12 @@ HW_CASES = [
                          "--strand", "PLUS"]),
     ("mafk100_w8_logpval",
      ["MafK_100seqs.fasta", "-w", "8", "--optimization_score", "LOGPVAL"]),
+    ("mafk100_w8_enrich",
+     ["MafK_100seqs.fasta", "-w", "8",
+      "--optimization_score", "ENRICHMENT"]),
+    # w12: the MXU histogram gates itself off (>4**10 bins) and the
+    # XLA scatter path counts; EM/stats run on 4**12 flat tables
+    ("mafk100_w12", ["MafK_100seqs.fasta", "-w", "12"]),
     ("mafk_w8", ["MafK.fasta", "-w", "8"]),
     ("mafk_w10", ["MafK.fasta", "-w", "10"]),   # the headline config
     ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
@@ -57,6 +63,14 @@ def test_tpu_engine_parity_on_hardware(stem, args, tmp_path, accelerator):
     argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
             + ["--engine", "tpu"])
     _run_and_diff_tol(argv, stem, tmp_path)
+
+
+def test_devices_mesh_of_one_on_hardware(tmp_path, accelerator):
+    """--devices 1: the shard_map + psum code path is distinct from the
+    unsharded engine even on a single chip — run it on hardware."""
+    argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
+            "--devices", "1", "--engine", "tpu"]
+    _run_and_diff_tol(argv, "mafk100_w8", tmp_path)
 
 
 def test_forced_device_count_byte_identical_on_hardware(
@@ -97,22 +111,38 @@ def test_large_corpus_wide_path(accelerator, tmp_path):
             f.write(rows[i].tobytes())
             f.write(b"\n")
 
+    import contextlib
+    import io
+
     out_tpu = str(tmp_path / "tpu.meme")
     out_exact = str(tmp_path / "exact.meme")
-    assert main([str(fa), "-w", "8", "-o", out_tpu, "--engine", "tpu"]) == 0
-    assert main([str(fa), "-w", "8", "-o", out_exact,
-                 "--engine", "exact"]) == 0
-    got = open(out_tpu).read().splitlines()
-    want = open(out_exact).read().splitlines()
-    assert len(got) == len(want)
-    for ln, (a, b) in enumerate(zip(got, want), 1):
-        if a == b:
-            continue
-        ta, tb = a.split(), b.split()
-        assert len(ta) == len(tb), f"line {ln}: {a!r} vs {b!r}"
-        for x, y in zip(ta, tb):
-            if x == y:
+    cap_t, cap_e = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(cap_t):
+        assert main([str(fa), "-w", "8", "-o", out_tpu,
+                     "--engine", "tpu"]) == 0
+    with contextlib.redirect_stdout(cap_e):
+        assert main([str(fa), "-w", "8", "-o", out_exact,
+                     "--engine", "exact"]) == 0
+
+    def check(got, want, what):
+        assert len(got) == len(want), f"{what}: line count"
+        for ln, (a, b) in enumerate(zip(got, want), 1):
+            if a == b:
                 continue
-            fx, fy = float(x), float(y)    # non-floats must be equal
-            assert abs(fx - fy) <= 1e-4 + 1e-5 * abs(fy), \
-                f"line {ln}: {a!r} vs {b!r}"
+            ta, tb = a.split(), b.split()
+            assert len(ta) == len(tb), f"{what}:{ln}: {a!r} vs {b!r}"
+            for x, y in zip(ta, tb):
+                if x == y:
+                    continue
+                fx, fy = float(x), float(y)    # non-floats must be equal
+                assert abs(fx - fy) <= 1e-4 + 1e-5 * abs(fy), \
+                    f"{what}:{ln}: {a!r} vs {b!r}"
+
+    check(open(out_tpu).read().splitlines(),
+          open(out_exact).read().splitlines(), "meme")
+    # stdout carries every *decision* line (seed table, climb rows,
+    # selected patterns, em lines, final motif table): non-float tokens
+    # must be exactly equal, pinning merge pair/shift/orientation
+    # outcomes at large-corpus scale (round-3 verdict weak #7)
+    check(cap_t.getvalue().splitlines(), cap_e.getvalue().splitlines(),
+          "stdout")
