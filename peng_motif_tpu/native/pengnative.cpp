@@ -1586,12 +1586,26 @@ extern "C" int64_t stream_fixup_native(
   affected.erase(std::unique(affected.begin(), affected.end()),
                  affected.end());
 
+  // threaded over affected sequences: per-thread chunk caches (shared
+  // chunks at shard boundaries recompute — cheap vs synchronization)
+  // and per-thread delta maps, merged afterwards; deltas are additive
+  // so the merge order cannot change the result
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)affected.size() < 8) n_threads = 1;
+  if (n_threads > (int)affected.size()) n_threads = (int)affected.size();
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::unordered_map<int64_t, int64_t>> deltas(n_threads);
+  std::vector<int64_t> ltot_deltas(n_threads, 0);
+
+  auto worker = [&](int tid) {
   std::unordered_map<int64_t, StreamChunkDec> chunk_cache;
-  std::unordered_map<int64_t, int64_t> delta;
-  int64_t ltot_delta = 0;
+  std::unordered_map<int64_t, int64_t>& delta = deltas[tid];
+  int64_t& ltot_delta = ltot_deltas[tid];
   std::vector<int64_t> cid;
   std::vector<uint8_t> exact;
-  for (int64_t k : affected) {
+  for (size_t ai = tid; ai < affected.size(); ai += n_threads) {
+    const int64_t k = affected[ai];
     const int64_t st = seq_starts[k];
     const int64_t ln = seq_lens[k];
     if (ln < w) continue;
@@ -1658,6 +1672,21 @@ extern "C" int64_t stream_fixup_native(
       }
       ltot_delta += (int64_t)(cid[j] >= 0) - (int64_t)(dec.cid[local] >= 0);
     }
+  }
+  };  // worker
+
+  if (n_threads <= 1) {
+    if (!affected.empty()) worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+  std::unordered_map<int64_t, int64_t> delta;
+  int64_t ltot_delta = 0;
+  for (int t = 0; t < n_threads; t++) {
+    ltot_delta += ltot_deltas[t];
+    for (const auto& kv : deltas[t]) delta[kv.first] += kv.second;
   }
   *ltot_delta_out = ltot_delta;
   int64_t n_out = 0;

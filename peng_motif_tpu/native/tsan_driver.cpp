@@ -29,6 +29,10 @@ void base_stats_table(const int32_t*, const float*, int64_t, int64_t, float*,
 void bg_prob_table_native(const float*, const int64_t*, int, int, int,
                           float*);
 void pack_codes_native(const uint8_t*, int64_t, int64_t, uint8_t*);
+int64_t stream_fixup_native(const uint8_t*, int64_t, const int64_t*,
+                            const int64_t*, int64_t, const int64_t*, int64_t,
+                            int64_t, int64_t, int64_t, int64_t, int,
+                            int64_t*, int32_t*, int64_t, int64_t*);
 }
 
 static uint32_t rng_state = 12345;
@@ -87,6 +91,33 @@ int main() {
   for (int64_t i = 0; i < n_tab; i++) counts_f[i] = (float)table[i];
   em_optimize_batch(pwms.data(), counts_f.data(), bgp.data(), n_motifs, W,
                     1e4f, 0.08f, 10, 0);
+
+  // threaded stream fix-up: repeat-heavy sequences, every chunk
+  // suspicious — per-thread chunk caches + delta maps under load
+  {
+    const int64_t row = 512, ctx = 2 * (W - 1), core = row - W + 1 - ctx;
+    const int64_t n_seq = 200, sl = 600;
+    std::vector<int64_t> sstarts(n_seq), slens(n_seq, sl);
+    std::vector<uint8_t> stream(n_seq * (sl + W) + W - 1, 0);
+    for (int64_t k = 0; k < n_seq; k++) {
+      sstarts[k] = k * (sl + W);
+      for (int64_t j = 0; j < sl; j++)
+        stream[sstarts[k] + j] =
+            (uint8_t)(j % 97 < 24 ? 1 + (j % 4) : 1 + rnd() % 4);
+    }
+    const int64_t n_win = (int64_t)stream.size() - W + 1;
+    const int64_t m = (n_win + core - 1) / core;
+    std::vector<int64_t> susp(m);
+    for (int64_t c = 0; c < m; c++) susp[c] = c;
+    std::vector<int64_t> ids(1 << 20);
+    std::vector<int32_t> dvs(1 << 20);
+    int64_t ltd = 0;
+    int64_t nf = stream_fixup_native(
+        stream.data(), (int64_t)stream.size(), sstarts.data(), slens.data(),
+        n_seq, susp.data(), m, W, row, core, ctx, 1, ids.data(), dvs.data(),
+        1 << 20, &ltd);
+    printf("fixup n=%lld ltd=%lld\n", (long long)nf, (long long)ltd);
+  }
 
   printf("tsan driver done ltot=%lld bg0=%lld pwm0=%f\n",
          (long long)ltot, (long long)bg_counts[0], (double)pwms[0]);
