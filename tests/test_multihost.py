@@ -104,3 +104,28 @@ def test_multihost_u16_overflow_refetch(tmp_path):
     _run_multihost(2, fasta, 8, out0)
     with open(out0, "rb") as f, open(out1, "rb") as g:
         assert f.read() == g.read()
+
+
+def test_partial_parse_matches_full():
+    """read_fasta_lengths / read_fasta_ranges must agree with the full
+    parse on every quirk file (worker processes derive the global
+    layout from them)."""
+    import numpy as np
+
+    from peng_motif_tpu.io.fasta import (
+        read_fasta, read_fasta_lengths, read_fasta_ranges)
+
+    for name in ("MafK_100seqs.fasta", "synthetic_n.fasta",
+                 "default_sequence_set.fa"):
+        path = os.path.join(GOLDEN_DIR, name)
+        import io as _io
+        full = read_fasta(path, warn_stream=_io.StringIO())
+        lengths = read_fasta_lengths(path)
+        np.testing.assert_array_equal(
+            lengths, [len(s) for s in full.sequences], err_msg=name)
+        n = len(full.sequences)
+        spans = [(0, min(2, n)), (n - 1, n)]
+        decoded = read_fasta_ranges(path, spans)
+        for i, codes in decoded.items():
+            np.testing.assert_array_equal(
+                codes, full.sequences[i], err_msg=f"{name}[{i}]")
