@@ -195,49 +195,32 @@ struct ParseResult {
   // at EOF (SequenceSet.cpp:395-404); mid-file entries exclude silently
   std::string last_header;
   std::string last_undef;
+  // bare-">" headers take the GLOBAL 1-based sequence counter; a
+  // segment only knows its local index, so the merge renumbers
+  bool last_bare = false;
+  int64_t last_bare_local = 0;
   int error = 0;
 };
 
-int parse_file(const char* path, ParseResult& res) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  std::string content;
-  {
-    fseek(f, 0, SEEK_END);
-    long size = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    content.resize(size);
-    if (size > 0 && fread(&content[0], 1, size, f) != (size_t)size) {
-      fclose(f);
-      return -1;
-    }
-    fclose(f);
-  }
-
-  uint8_t code_of[256];
-  memset(code_of, 0, sizeof(code_of));
-  const char* bases = "ACGT";
-  for (int i = 0; i < 4; i++) {
-    code_of[(unsigned char)bases[i]] = i + 1;
-    code_of[(unsigned char)tolower(bases[i])] = i + 1;
-  }
-
-  // getline(...).good() semantics: a final line without trailing newline
-  // is never processed (reference: SequenceSet.cpp:304).
-  size_t end = content.size();
-  if (end == 0 || content[end - 1] != '\n') {
-    size_t last_nl = content.rfind('\n');
-    end = (last_nl == std::string::npos) ? 0 : last_nl + 1;
-  }
+// Parse one segment [pos, end) of the file image.  Segments other than
+// the first start exactly at a line-initial '>' so every segment is a
+// self-contained sub-FASTA; the caller merges results.  ``first``
+// gates the data-before-header error; last_header/last_undef are only
+// meaningful for the segment containing the true EOF entry.
+int parse_segment(const char* data, size_t pos, size_t end, bool first,
+                  ParseResult& res) {
+  const std::string_view content(data, end);
 
   bool have_header = false;
   bool have_any_header = false;
+  bool cur_bare = false;
+  int64_t cur_bare_local = 0;
   std::string cur_header;
   std::string cur_undef;
-  res.codes.reserve(end);          // upper bound: every byte a base
+  res.codes.reserve(end - pos);    // upper bound: every byte a base
   size_t entry_start = 0;          // offset of current entry in res.codes
   int64_t bc[5] = {0, 0, 0, 0, 0}; // [0] = undefined
-  size_t pos = 0;
+  res.last_bare = false;
   while (pos < end) {
     const char* nlp = (const char*)memchr(content.data() + pos, '\n',
                                           end - pos);
@@ -261,8 +244,11 @@ int parse_file(const char* path, ParseResult& res) {
       entry_start = res.codes.size();
       cur_undef.clear();
       // bare ">" takes the 1-based sequence counter as header
-      // (reference: SequenceSet.cpp:351-356)
-      cur_header = (line_len == 1)
+      // (reference: SequenceSet.cpp:351-356); local index here, the
+      // merge adds the preceding segments' sequence count
+      cur_bare = (line_len == 1);
+      cur_bare_local = (int64_t)res.lengths.size();
+      cur_header = cur_bare
           ? std::to_string(res.lengths.size() + 1)
           : std::string(line + 1, line_len - 1);
       have_header = true;
@@ -304,12 +290,105 @@ int parse_file(const char* path, ParseResult& res) {
       res.lengths.push_back((int64_t)cur_len);
       res.last_header = cur_header;
       res.last_undef = cur_undef;
+      res.last_bare = cur_bare;
+      res.last_bare_local = cur_bare_local;
     } else {
       res.n_empty++;  // trailing empty entry also warns (EOF branch)
     }
   }
   for (int j = 0; j < 4; j++) res.base_counts[j] = bc[j + 1];
   (void)have_any_header;
+  return 0;
+}
+
+int parse_file(const char* path, ParseResult& res) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::string content;
+  {
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    content.resize(size);
+    if (size > 0 && fread(&content[0], 1, size, f) != (size_t)size) {
+      fclose(f);
+      return -1;
+    }
+    fclose(f);
+  }
+
+  // getline(...).good() semantics: a final line without trailing newline
+  // is never processed (reference: SequenceSet.cpp:304).
+  size_t end = content.size();
+  if (end == 0 || content[end - 1] != '\n') {
+    size_t last_nl = content.rfind('\n');
+    end = (last_nl == std::string::npos) ? 0 : last_nl + 1;
+  }
+
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  if (end < (size_t)(4 << 20) || n_threads == 1) {
+    return parse_segment(content.data(), 0, end, true, res);
+  }
+
+  // segment split points: the line-initial '>' at or after each even
+  // slice boundary, so every segment is a self-contained sub-FASTA
+  std::vector<size_t> splits{0};
+  for (int t = 1; t < n_threads; t++) {
+    size_t target = end * (size_t)t / (size_t)n_threads;
+    if (target <= splits.back()) continue;
+    const char* hit = (const char*)memmem(content.data() + target,
+                                          end - target, "\n>", 2);
+    if (!hit) break;
+    size_t sp = (size_t)(hit - content.data()) + 1;  // at the '>'
+    if (sp > splits.back() && sp < end) splits.push_back(sp);
+  }
+  splits.push_back(end);
+  const int n_seg = (int)splits.size() - 1;
+  if (n_seg <= 1) return parse_segment(content.data(), 0, end, true, res);
+
+  std::vector<ParseResult> parts(n_seg);
+  std::vector<int> rcs(n_seg, 0);
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_seg; t++) {
+      pool.emplace_back([&, t]() {
+        rcs[t] = parse_segment(content.data(), splits[t], splits[t + 1],
+                               t == 0, parts[t]);
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int t = 0; t < n_seg; t++) {
+    if (rcs[t] != 0) return rcs[t];
+  }
+
+  size_t total_codes = 0;
+  int64_t total_seqs = 0;
+  for (auto& pr : parts) {
+    total_codes += pr.codes.size();
+    total_seqs += (int64_t)pr.lengths.size();
+  }
+  res.codes.resize(total_codes);
+  res.lengths.reserve(total_seqs);
+  size_t off = 0;
+  int64_t seqs_before_last = 0;
+  for (int t = 0; t < n_seg; t++) {
+    ParseResult& pr = parts[t];
+    memcpy(res.codes.data() + off, pr.codes.data(), pr.codes.size());
+    off += pr.codes.size();
+    res.lengths.insert(res.lengths.end(), pr.lengths.begin(),
+                       pr.lengths.end());
+    for (int j = 0; j < 4; j++) res.base_counts[j] += pr.base_counts[j];
+    res.n_empty += pr.n_empty;
+    if (t < n_seg - 1) seqs_before_last += (int64_t)pr.lengths.size();
+  }
+  ParseResult& last = parts[n_seg - 1];
+  res.last_undef = last.last_undef;
+  res.last_header = last.last_bare
+      ? std::to_string(seqs_before_last + last.last_bare_local + 1)
+      : last.last_header;
   return 0;
 }
 
