@@ -119,6 +119,63 @@ def mxu_histogram(flat_ids, flat_inc, n_bins: int):
     return out.reshape(-1)[:n_bins]
 
 
+def _hist_kernel_blocked(ids_ref, out_ref, *, hi_block: int, block: int):
+    """Hi-blocked variant: grid (n_hi_blocks, n_win_blocks), hi outer.
+    Each step builds only its hi-slice of the one-hot (rows relative to
+    the block), so the window block can be larger (bigger matmul K)
+    without the [nhi, block] one-hot outgrowing VMEM; ids out of this
+    hi range match no iota row and contribute zero."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ids = ids_ref[0, 0, :]                               # [block] lanes
+    hi = ids // jnp.int32(_LANES) - i * jnp.int32(hi_block)
+    lo = ids % jnp.int32(_LANES)
+    h_t = (jax.lax.broadcasted_iota(jnp.int32, (hi_block, block), 0)
+           == hi[None, :]).astype(jnp.int8)
+    l_t = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, block), 0)
+           == lo[None, :]).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        h_t, l_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # [hi_block, 128]
+
+    @pl.when(j == jnp.int32(0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def mxu_histogram_blocked(flat_ids, flat_inc, n_bins: int,
+                          hi_block: int = 2048, block: int = 4096):
+    """Hi-blocked MXU histogram: supports any 128-aligned ``n_bins``
+    (the accumulator tiles over hi rows, so the w10/w12 tables no
+    longer need to fit one VMEM-resident block).  Same exactness
+    contract as :func:`mxu_histogram`."""
+    if flat_ids.shape[0] == 0:
+        return jnp.zeros(n_bins, dtype=jnp.int32)
+    ids = jnp.where(
+        flat_inc != 0, flat_ids.astype(jnp.int32), jnp.int32(n_bins))
+    n = ids.shape[0]
+    pad = (-n) % block
+    if pad:
+        ids = jnp.pad(ids, (0, pad), constant_values=n_bins)
+    ids = ids.astype(jnp.int32)
+    g = (n + pad) // block
+    nhi = n_bins // _LANES + 1                    # +1: trash row
+    n_hi_blocks = -(-nhi // hi_block)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(
+                _hist_kernel_blocked, hi_block=hi_block, block=block),
+            grid=(n_hi_blocks, g),
+            in_specs=[pl.BlockSpec((1, 1, block), lambda i, j: (j, 0, 0))],
+            out_specs=pl.BlockSpec((hi_block, _LANES), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_hi_blocks * hi_block, _LANES), jnp.int32),
+        )(ids.reshape(g, 1, block))
+    return out.reshape(-1)[:n_bins]
+
+
 def use_mxu_histogram() -> bool:
     """MXU path only on a real TPU backend (interpret-mode pallas on
     CPU is orders of magnitude slower than the XLA scatter)."""
@@ -130,10 +187,21 @@ def use_mxu_histogram() -> bool:
         return False
 
 
+def _variant() -> str:
+    import os  # noqa: PLC0415
+
+    return os.environ.get("PENG_HIST_VARIANT", "")
+
+
 def histogram(flat_ids, flat_inc, n_bins: int):
     """Dispatch: MXU one-hot-matmul histogram on TPU when the table
-    fits VMEM, XLA scatter-add otherwise (CPU, giant tables)."""
-    if use_mxu_histogram() and histogram_supported(n_bins):
-        return mxu_histogram(flat_ids, flat_inc, n_bins)
+    fits VMEM, XLA scatter-add otherwise (CPU, giant tables).
+    PENG_HIST_VARIANT=blocked selects the hi-blocked kernel (A/B
+    switch; also exercises the any-size accumulator path)."""
+    if use_mxu_histogram() and n_bins % _LANES == 0:
+        if _variant() == "blocked":
+            return mxu_histogram_blocked(flat_ids, flat_inc, n_bins)
+        if n_bins <= _MAX_BINS:
+            return mxu_histogram(flat_ids, flat_inc, n_bins)
     return jnp.zeros(n_bins, dtype=jnp.int32).at[flat_ids].add(
         flat_inc.astype(jnp.int32))
