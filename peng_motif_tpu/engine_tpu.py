@@ -442,12 +442,24 @@ def process_tpu(peng, params) -> List[Motif]:
                 stream, lay = build_stream(
                     sset.sequences, W, flat_codes=flat)
                 mark("build_stream")
-                # fused native chunk+pack; 1-D upload (a 2-D put pays
-                # a per-shape layout-program compile)
-                buf = jnp.asarray(chunked_packed(stream, lay))
-                mark("pack+h2d")
-                counts_dev, blob_dev = stream_count_device_fused(
-                    buf, lay.row, lay.ctx, W, both, bg_order)
+                out = None
+                if lay.m_pad > 65536:
+                    # large corpora: slab-pipelined — pack/upload of
+                    # slab k+1 overlaps the device scan of slab k
+                    from .ops.stream_count import (  # noqa: PLC0415
+                        stream_count_pipelined)
+
+                    out = stream_count_pipelined(
+                        stream, lay, W, both, bg_order)
+                if out is not None:
+                    counts_dev, blob_dev = out
+                else:
+                    # fused native chunk+pack; 1-D upload (a 2-D put
+                    # pays a per-shape layout-program compile)
+                    buf = jnp.asarray(chunked_packed(stream, lay))
+                    mark("pack+h2d")
+                    counts_dev, blob_dev = stream_count_device_fused(
+                        buf, lay.row, lay.ctx, W, both, bg_order)
                 mark("count dispatch")
                 if defer_bg:
                     from .models.background import (  # noqa: PLC0415

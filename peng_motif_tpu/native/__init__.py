@@ -235,6 +235,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.chunk_pack_native.restype = None
+        lib.chunk_pack_range_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.chunk_pack_range_native.restype = None
         lib.bg_count_kmers.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
@@ -864,6 +870,27 @@ def build_stream_fill_native(flat: np.ndarray, lengths: np.ndarray,
         stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return True
+
+
+def chunk_pack_range_native(stream: np.ndarray, row_lo: int, n_rows: int,
+                            row: int, core: int, ctx: int
+                            ) -> Optional[np.ndarray]:
+    """Packed buffer for chunk rows [row_lo, row_lo + n_rows) (the
+    slab-pipelined count path); None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    nb = (row + 3) // 4 + (row + 7) // 8
+    out = np.empty(n_rows * nb, dtype=np.uint8)
+    lib.chunk_pack_range_native(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(stream.shape[0]),
+        ctypes.c_int64(row_lo), ctypes.c_int64(n_rows),
+        ctypes.c_int64(row), ctypes.c_int64(core), ctypes.c_int64(ctx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def chunk_pack_stream_native(stream: np.ndarray, m_pad: int, row: int,

@@ -1806,6 +1806,37 @@ extern "C" void build_stream_native(
   });
 }
 
+// pack chunk rows [row_lo, row_lo + n_rows) — the slab-pipelined count
+// path packs one slab while the device scans the previous one
+extern "C" void chunk_pack_range_native(
+    const uint8_t* stream, int64_t stream_len,
+    int64_t row_lo, int64_t n_rows, int64_t row, int64_t core, int64_t ctx,
+    uint8_t* out /* [n_rows * (ceil(row/4)+ceil(row/8))] */) {
+  const int64_t c4 = (row + 3) / 4;
+  const int64_t c8 = (row + 7) / 8;
+  const int64_t stride = c4 + c8;
+  parallel_ranges(n_rows, [&](int64_t lo_r, int64_t hi_r) {
+    std::vector<uint8_t> buf(row);
+    for (int64_t r = lo_r; r < hi_r; r++) {
+      const int64_t c = row_lo + r;
+      const int64_t lo = c * core - ctx;
+      const int64_t s0 = std::max<int64_t>(lo, 0);
+      const int64_t s1 = std::min<int64_t>(lo + row, stream_len);
+      memset(buf.data(), 0, (size_t)row);
+      if (s1 > s0) memcpy(buf.data() + (s0 - lo), stream + s0,
+                          (size_t)(s1 - s0));
+      uint8_t* base2 = out + r * stride;
+      uint8_t* nbits = base2 + c4;
+      memset(base2, 0, (size_t)stride);
+      for (int64_t j = 0; j < row; j++) {
+        const uint8_t cc = buf[j];
+        base2[j >> 2] |= (uint8_t)(((cc - 1) & 3) << ((j & 3) * 2));
+        if (cc == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
+      }
+    }
+  });
+}
+
 extern "C" void chunk_pack_native(
     const uint8_t* stream, int64_t stream_len,
     int64_t m_pad, int64_t row, int64_t core, int64_t ctx,

@@ -363,17 +363,18 @@ def stream_count_device(buf, row: int, ctx: int, length: int,
     return counts, vals, max_c, ltot, suspicious
 
 
-def _pack_fetch_blob(vals_u16, max_c, ltot, susp, bg=None):
-    """One uint32 vector holding every non-resident output: [ltot,
-    max_count, susp bitpacked (32 chunks/word), bg counts (int32-as-u32,
-    when fused bg counting is on), vals (2 u16/word)].
-    The tunneled backend pays a full round trip *per fetched array*
-    (~0.2-1 s each); one blob makes the post-count sync a single fetch."""
+def _susp_to_words(susp):
+    """Bitpack a bool suspicion vector, 32 chunks per uint32 word."""
     m = susp.shape[0]
     m32 = -(-m // 32) * 32
     sp = jnp.pad(susp.astype(jnp.uint32), (0, m32 - m)).reshape(-1, 32)
-    susp_words = (sp << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+    return (sp << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
         axis=1, dtype=jnp.uint32)
+
+
+def _pack_fetch_blob_words(vals_u16, max_c, ltot, susp_words, bg=None):
+    """Blob layout from pre-packed suspicion words (see
+    :func:`_pack_fetch_blob`)."""
     nv = vals_u16.shape[0]
     vp = jnp.pad(vals_u16.astype(jnp.uint32), (0, nv % 2))
     vals_words = vp[0::2] | (vp[1::2] << 16)
@@ -386,6 +387,16 @@ def _pack_fetch_blob(vals_u16, max_c, ltot, susp, bg=None):
         parts.append(bg.astype(jnp.uint32))
     parts.append(vals_words)
     return jnp.concatenate(parts)
+
+
+def _pack_fetch_blob(vals_u16, max_c, ltot, susp, bg=None):
+    """One uint32 vector holding every non-resident output: [ltot,
+    max_count, susp bitpacked (32 chunks/word), bg counts (int32-as-u32,
+    when fused bg counting is on), vals (2 u16/word)].
+    The tunneled backend pays a full round trip *per fetched array*
+    (~0.2-1 s each); one blob makes the post-count sync a single fetch."""
+    return _pack_fetch_blob_words(
+        vals_u16, max_c, ltot, _susp_to_words(susp), bg)
 
 
 def split_fetch_blob(blob_np: np.ndarray, m: int, n_canonical: int,
@@ -424,6 +435,74 @@ def stream_count_device_fused(buf, row: int, ctx: int, length: int,
         buf, row, ctx, length, both_strands, bg_order)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious, bg)
+
+
+# ---------------------------------------------------------------------------
+# slab-pipelined counting: pack/upload/compute overlap
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("row", "ctx", "length", "both_strands", "bg_order"),
+    donate_argnums=(0, 1, 2, 3))
+def _slab_accum(counts, ltot, susp_words, bg, buf_flat, slab_idx,
+                row: int, ctx: int, length: int, both_strands: bool,
+                bg_order: int):
+    """Accumulate one _SLAB-chunk slab into the donated running state.
+    The slab shape is fixed, so one compiled program serves any corpus
+    size — and the host packs/uploads slab k+1 while the device scans
+    slab k (all dispatches are asynchronous)."""
+    codes = _unpack_codes(buf_flat.reshape(-1, row_nbytes(row)), row)
+    c, lt, sp, b = stream_local_counts(codes, ctx, length, both_strands,
+                                       bg_order)
+    words = _susp_to_words(sp)
+    susp_words = jax.lax.dynamic_update_slice_in_dim(
+        susp_words, words, slab_idx * (_SLAB // 32), 0)
+    return (counts + c, ltot + lt, susp_words,
+            (bg + b) if bg_order >= 0 else bg)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "both_strands", "bg_order"))
+def _finalize_pipelined(counts, ltot, susp_words, bg,
+                        length: int, both_strands: bool, bg_order: int):
+    counts, vals, max_c = stream_compact(counts, length, both_strands)
+    return counts, _pack_fetch_blob_words(
+        vals, max_c, ltot, susp_words,
+        bg if bg_order >= 0 else None)
+
+
+def stream_count_pipelined(stream: np.ndarray, lay: StreamLayout,
+                           length: int, both_strands: bool,
+                           bg_order: int = -1):
+    """Slab-pipelined :func:`stream_count_device_fused`: native
+    pack-range of each 16384-chunk slab overlaps the previous slab's
+    upload + device scan.  Requires the native library and
+    ``lay.m_pad % _SLAB == 0`` (the >_SLAB_MIN bucket ladder guarantees
+    it); falls back to None when unavailable so the caller takes the
+    single-shot path."""
+    from ..native import chunk_pack_range_native  # noqa: PLC0415
+
+    if lay.m_pad % _SLAB != 0:
+        return None
+    n_slabs = lay.m_pad // _SLAB
+    counts = jnp.zeros(4 ** length, dtype=jnp.int32)
+    ltot = jnp.int64(0)
+    susp_words = jnp.zeros(lay.m_pad // 32, dtype=jnp.uint32)
+    bg = (jnp.zeros(bg_nbins(bg_order), dtype=jnp.int32)
+          if bg_order >= 0 else jnp.zeros((), dtype=jnp.int32))
+    for k in range(n_slabs):
+        packed = chunk_pack_range_native(
+            stream, k * _SLAB, _SLAB, lay.row, lay.core, lay.ctx)
+        if packed is None:
+            return None
+        buf = jnp.asarray(packed)
+        counts, ltot, susp_words, bg = _slab_accum(
+            counts, ltot, susp_words, bg, buf, jnp.int32(k),
+            lay.row, lay.ctx, length, both_strands, bg_order)
+    return _finalize_pipelined(
+        counts, ltot, susp_words, bg, length, both_strands, bg_order)
 
 
 # ---------------------------------------------------------------------------
