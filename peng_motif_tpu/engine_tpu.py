@@ -442,17 +442,17 @@ def process_tpu(peng, params) -> List[Motif]:
                 stream, lay = build_stream(
                     sset.sequences, W, flat_codes=flat)
                 mark("build_stream")
-                out = None
+                piped = None
                 if lay.m_pad > 65536:
                     # large corpora: slab-pipelined — pack/upload of
                     # slab k+1 overlaps the device scan of slab k
                     from .ops.stream_count import (  # noqa: PLC0415
                         stream_count_pipelined)
 
-                    out = stream_count_pipelined(
+                    piped = stream_count_pipelined(
                         stream, lay, W, both, bg_order)
-                if out is not None:
-                    counts_dev, blob_dev = out
+                if piped is not None:
+                    counts_dev, blob_dev = piped
                 else:
                     # fused native chunk+pack; 1-D upload (a 2-D put
                     # pays a per-shape layout-program compile)
