@@ -25,14 +25,27 @@ from typing import List, Sequence
 import numpy as np
 
 
-def init_multihost(coordinator: str, num_processes: int, process_id: int):
-    """jax.distributed.initialize wrapper (idempotent per process)."""
+def init_multihost(coordinator: str, num_processes: int, process_id: int,
+                   timeout_s: int | None = None):
+    """jax.distributed.initialize wrapper (idempotent per process).
+
+    ``timeout_s`` (default 300, env PENG_MULTIHOST_TIMEOUT) bounds the
+    coordination-service connect: a process that never shows up (crash
+    before init) fails every peer with a clean error instead of an
+    indefinite hang.  Mid-run dropouts surface through the coordination
+    service's heartbeat on the next collective.
+    """
+    import os
+
     import jax
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("PENG_MULTIHOST_TIMEOUT", "300"))
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=timeout_s,
     )
 
 

@@ -129,3 +129,34 @@ def test_partial_parse_matches_full():
         for i, codes in decoded.items():
             np.testing.assert_array_equal(
                 codes, full.sequences[i], err_msg=f"{name}[{i}]")
+
+
+@pytest.mark.slow
+def test_missing_process_fails_clean(tmp_path):
+    """If a peer never starts, the surviving process must exit with an
+    error inside the init timeout instead of hanging forever."""
+    import time
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PENG_MULTIHOST_TIMEOUT": "10",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    t0 = time.time()
+    p = subprocess.Popen(
+        [sys.executable, "-m", "peng_motif_tpu",
+         os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
+         "--num-processes", "2", "--process-id", "0",
+         "--coordinator", f"localhost:{port}",
+         "-o", str(tmp_path / "o.meme")],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        p.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        raise AssertionError("lone multihost process hung past timeout")
+    assert p.returncode != 0
+    assert time.time() - t0 < 120
