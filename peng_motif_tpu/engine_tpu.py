@@ -85,19 +85,31 @@ class EngineFallback(Exception):
 
 
 _backend_probe_ok: bool | None = None
+_probe_threads: list = []
+
+
+def stuck_probe_threads() -> bool:
+    """True if a watchdog probe thread is still wedged inside a device
+    call.  The CLI entry checks this before interpreter exit: tearing
+    down the runtime under a thread stuck in uninterruptible backend
+    code aborts the process, so it os._exit()s instead."""
+    return any(t.is_alive() for t in _probe_threads)
 
 
 def _backend_responsive() -> bool:
     """Watchdog for a wedged device backend (tunneled TPUs can hang
     mid-transfer, and a hung ``device_get`` is uninterruptible): run a
     tiny dispatch+fetch on a daemon thread and give it
-    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  Probed
-    once per process; on timeout the engine falls back to the exact
-    host path instead of hanging forever (the reference binary,
-    src/main.cpp, can never hang — neither may we)."""
+    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  A
+    success is cached for the process; a failure is re-probed on the
+    next engine invocation with a 15 s budget, so a transient tunnel
+    stall doesn't demote a long-lived process to the host engine
+    forever.  On timeout the engine falls back to the exact host path
+    instead of hanging (the reference binary, src/main.cpp, can never
+    hang — neither may we)."""
     global _backend_probe_ok
-    if _backend_probe_ok is not None:
-        return _backend_probe_ok
+    if _backend_probe_ok is True:
+        return True
     import os
     import threading
 
@@ -105,6 +117,8 @@ def _backend_responsive() -> bool:
     if timeout <= 0:
         _backend_probe_ok = True
         return True
+    if _backend_probe_ok is False:
+        timeout = min(timeout, 15.0)  # retry after an earlier failure
     done = threading.Event()
 
     def _probe():
@@ -115,6 +129,7 @@ def _backend_responsive() -> bool:
             pass
 
     t = threading.Thread(target=_probe, daemon=True)
+    _probe_threads.append(t)
     t.start()
     _backend_probe_ok = done.wait(timeout)
     return _backend_probe_ok

@@ -32,6 +32,13 @@ def enable_persistent_cache() -> str | None:
     env = os.environ.get("PENG_COMPILE_CACHE")
     if env is not None and env.strip().lower() in ("", "off", "0", "none"):
         return None
+    if env is None and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        # tunneled backends: executable serialization runs over the
+        # tunnel and measurably wedges it for minutes (first-op 1.3 s
+        # bare vs 80-250 s with the cache active), while server-side
+        # compiles are only seconds — the cache is a large net loss.
+        # An explicit PENG_COMPILE_CACHE path still opts in.
+        return None
     cache_dir = env or os.path.join(
         os.path.expanduser("~"), ".cache", "peng_motif_tpu", "xla")
     try:

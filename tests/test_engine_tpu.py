@@ -173,10 +173,21 @@ def test_watchdog_fallback_to_exact(monkeypatch, tmp_path):
     missing #3); output must still be golden."""
     import peng_motif_tpu.engine_tpu as et
 
-    monkeypatch.setattr(et, "_backend_probe_ok", False)
+    monkeypatch.setattr(et, "_backend_responsive", lambda: False)
     argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
             "--engine", "tpu"]
     _run_and_diff(argv, "mafk100_w8", tmp_path)
+
+
+def test_watchdog_failure_reprobes(monkeypatch):
+    """An earlier probe failure must not demote the process forever:
+    the next engine invocation re-probes (15 s budget) and recovers
+    when the backend answers."""
+    import peng_motif_tpu.engine_tpu as et
+
+    monkeypatch.setattr(et, "_backend_probe_ok", False)
+    assert et._backend_responsive()   # CPU backend answers instantly
+    assert et._backend_probe_ok is True
 
 
 def test_watchdog_probe_ok_on_live_backend(monkeypatch):
