@@ -85,54 +85,124 @@ class EngineFallback(Exception):
 
 
 _backend_probe_ok: bool | None = None
-_probe_threads: list = []
+_probe_proc = None
+_PROBE_TTL_S = 300.0
 
 
 def stuck_probe_threads() -> bool:
-    """True if a watchdog probe thread is still wedged inside a device
-    call.  The CLI entry checks this before interpreter exit: tearing
-    down the runtime under a thread stuck in uninterruptible backend
-    code aborts the process, so it os._exit()s instead."""
-    return any(t.is_alive() for t in _probe_threads)
+    """Kept for the CLI exit check; the subprocess-based watchdog never
+    wedges an in-process thread, so this is now always False."""
+    return False
+
+
+def _probe_needed() -> bool:
+    """The wedge class the watchdog guards against only exists on
+    tunneled backends (JAX_PLATFORMS mentions axon); a local CPU/TPU
+    backend cannot hang a transfer indefinitely.  (The tunneled plugin
+    also cannot initialize on a non-main thread, so the probe must be
+    a subprocess — which is only worth its ~2 s on the tunnel.)  A
+    config-level cpu pin (how the test suite forces CPU — the env var
+    alone is overridden by the tunneled plugin) also skips it."""
+    import os
+
+    if jax.config.jax_platforms and "axon" not in jax.config.jax_platforms:
+        return False
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def _probe_cmd() -> str:
+    """Probe command for the subprocess, mirroring the parent's
+    platform pin (config wins over the env var in this runtime)."""
+    pin = ""
+    if jax.config.jax_platforms:
+        pin = ("import jax;"
+               f"jax.config.update('jax_platforms', "
+               f"{jax.config.jax_platforms!r});")
+    return (pin + "import jax, jax.numpy as jnp;"
+            "jax.device_get(jnp.ones((8,), jnp.float32).sum());"
+            "print('ok')")
+
+
+def _probe_ttl_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"peng_device_ok_{os.getuid()}")
+
+
+def start_backend_probe():
+    """Launch the watchdog probe subprocess without waiting (the CLI
+    calls this before parsing so the probe overlaps host work).
+    No-op when not needed or already answered/ttl-fresh."""
+    global _probe_proc
+    import os
+    import subprocess
+    import sys
+    import time
+
+    if (_backend_probe_ok is not None or _probe_proc is not None
+            or not _probe_needed()):
+        return
+    try:
+        if (time.time() - os.path.getmtime(_probe_ttl_path())
+                < _PROBE_TTL_S):
+            return
+    except OSError:
+        pass
+    _probe_proc = subprocess.Popen(
+        [sys.executable, "-c", _probe_cmd()],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
 
 
 def _backend_responsive() -> bool:
     """Watchdog for a wedged device backend (tunneled TPUs can hang
-    mid-transfer, and a hung ``device_get`` is uninterruptible): run a
-    tiny dispatch+fetch on a daemon thread and give it
-    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  A
-    success is cached for the process; a failure is re-probed on the
-    next engine invocation with a 15 s budget, so a transient tunnel
-    stall doesn't demote a long-lived process to the host engine
-    forever.  On timeout the engine falls back to the exact host path
-    instead of hanging (the reference binary, src/main.cpp, can never
-    hang — neither may we)."""
-    global _backend_probe_ok
+    mid-transfer, and a hung ``device_get`` is uninterruptible): an
+    isolated subprocess runs a tiny dispatch+fetch within
+    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  Success
+    is cached in-process and in a ttl file (5 min), so repeat CLI
+    invocations skip the probe; a failure re-probes on the next engine
+    invocation.  On timeout the engine falls back to the exact host
+    path instead of hanging (the reference binary, src/main.cpp, can
+    never hang — neither may we)."""
+    global _backend_probe_ok, _probe_proc
     if _backend_probe_ok is True:
         return True
     import os
-    import threading
+    import subprocess
+    import time
 
     timeout = float(os.environ.get("PENG_DEVICE_TIMEOUT", "75"))
-    if timeout <= 0:
+    if timeout <= 0 or not _probe_needed():
         _backend_probe_ok = True
         return True
+    try:
+        if (time.time() - os.path.getmtime(_probe_ttl_path())
+                < _PROBE_TTL_S):
+            _backend_probe_ok = True
+            return True
+    except OSError:
+        pass
     if _backend_probe_ok is False:
         timeout = min(timeout, 15.0)  # retry after an earlier failure
-    done = threading.Event()
-
-    def _probe():
+    if _probe_proc is None:
+        start_backend_probe()
+    proc, ok = _probe_proc, False
+    _probe_proc = None
+    if proc is not None:
         try:
-            jax.device_get(jnp.ones((8,), jnp.float32).sum())
-            done.set()
-        except Exception:  # backend init failure counts as wedged
+            out, _ = proc.communicate(timeout=timeout)
+            ok = "ok" in (out or "")
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    if ok:
+        try:
+            with open(_probe_ttl_path(), "w"):
+                pass
+        except OSError:
             pass
-
-    t = threading.Thread(target=_probe, daemon=True)
-    _probe_threads.append(t)
-    t.start()
-    _backend_probe_ok = done.wait(timeout)
-    return _backend_probe_ok
+    _backend_probe_ok = ok
+    return ok
 
 
 # ---------------------------------------------------------------------------

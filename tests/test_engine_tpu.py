@@ -181,12 +181,12 @@ def test_watchdog_fallback_to_exact(monkeypatch, tmp_path):
 
 def test_watchdog_failure_reprobes(monkeypatch):
     """An earlier probe failure must not demote the process forever:
-    the next engine invocation re-probes (15 s budget) and recovers
-    when the backend answers."""
+    the next engine invocation re-probes and recovers when the backend
+    answers (non-tunneled backends answer trivially)."""
     import peng_motif_tpu.engine_tpu as et
 
     monkeypatch.setattr(et, "_backend_probe_ok", False)
-    assert et._backend_responsive()   # CPU backend answers instantly
+    assert et._backend_responsive()   # CPU backend: probe not needed
     assert et._backend_probe_ok is True
 
 
@@ -197,6 +197,25 @@ def test_watchdog_probe_ok_on_live_backend(monkeypatch):
     monkeypatch.setattr(et, "_backend_probe_ok", None)
     assert et._backend_responsive()
     assert et._backend_probe_ok is True
+
+
+def test_watchdog_subprocess_probe(monkeypatch, tmp_path):
+    """Force the tunneled-backend probe machinery (subprocess + ttl
+    file) on the CPU backend: the probe subprocess answers, the ttl
+    file appears, and a second call short-circuits on it."""
+    import os
+
+    import peng_motif_tpu.engine_tpu as et
+
+    ttl = str(tmp_path / "ok")
+    monkeypatch.setattr(et, "_backend_probe_ok", None)
+    monkeypatch.setattr(et, "_probe_proc", None)
+    monkeypatch.setattr(et, "_probe_needed", lambda: True)
+    monkeypatch.setattr(et, "_probe_ttl_path", lambda: ttl)
+    assert et._backend_responsive()
+    assert os.path.exists(ttl)
+    monkeypatch.setattr(et, "_backend_probe_ok", None)
+    assert et._backend_responsive()   # ttl short-circuit
 
 
 @pytest.mark.slow
