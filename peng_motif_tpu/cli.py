@@ -404,9 +404,9 @@ def main(argv=None):
             return False
         if cfg["engine"] == "tpu":
             return True
-        import jax  # noqa: PLC0415
+        from .pipeline import default_backend_is_accelerator  # noqa: PLC0415
 
-        return jax.default_backend() != "cpu"
+        return default_backend_is_accelerator()
 
     # defer: the TPU engine fuses the (k+1)-mer scan into the device
     # count program (ops/stream_count.stream_bg_counts) and delivers the

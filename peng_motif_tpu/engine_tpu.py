@@ -189,12 +189,24 @@ def _backend_responsive() -> bool:
         start_backend_probe()
     proc, ok = _probe_proc, False
     _probe_proc = None
+    dbg = os.environ.get("PENG_DEBUG_TIMING")
     if proc is not None:
+        t0 = time.time()
         try:
             out, _ = proc.communicate(timeout=timeout)
             ok = "ok" in (out or "")
+            if dbg:
+                import sys as _sys
+
+                print(f"[WATCHDOG] probe answered {ok} in "
+                      f"{time.time() - t0:.1f}s", file=_sys.stderr)
         except subprocess.TimeoutExpired:
             proc.kill()
+            if dbg:
+                import sys as _sys
+
+                print(f"[WATCHDOG] probe timeout after {timeout:.0f}s",
+                      file=_sys.stderr)
     if ok:
         try:
             with open(_probe_ttl_path(), "w"):

@@ -369,9 +369,13 @@ class CountJob:
         # program is ~10x slower than the threaded native scan, so on a
         # CPU backend every size stays on host.  Set
         # PENG_COUNT_HOST_MAX_BASES=0 to force the device path.
-        on_cpu = jax.default_backend() == "cpu"
+        # consult the backend only when the size gate would actually
+        # send work to the device: jax.default_backend() initializes
+        # the backend, and on a wedged tunnel that call can hang — a
+        # pure-host run must never touch it
         if (self._codes_np.size <= _host_count_max_bases() or
-                (on_cpu and _host_count_max_bases() > 0)):
+                (_host_count_max_bases() > 0
+                 and jax.default_backend() == "cpu")):
             from ..native import (  # noqa: PLC0415
                 count_rows_exact_native, get_lib)
 

@@ -54,6 +54,24 @@ _IUPAC_SIMILAR_ARR = tuple(
 _POW11 = 11 ** np.arange(19, dtype=np.int64)  # 11**19 would overflow int64
 
 
+def default_backend_is_accelerator() -> bool:
+    """Engine auto-resolution WITHOUT initializing the backend: on a
+    tunneled backend, a parent-process backend connection started
+    before the watchdog probe subprocess answers starves the probe
+    into a false fallback.  The platform pin (config first — the env
+    var alone is overridden by the tunneled plugin — then the env) is
+    readable without init; only a fully unpinned runtime falls back to
+    jax.default_backend()."""
+    import os  # noqa: PLC0415
+
+    import jax  # noqa: PLC0415
+
+    plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        return plat.split(",")[0].strip() != "cpu"
+    return jax.default_backend() != "cpu"
+
+
 @dataclass
 class PengParameters:
     """Pipeline configuration (reference: PengParameters, src/peng.h:14-35;
@@ -130,9 +148,7 @@ class Peng:
     def process(self, params: PengParameters) -> List[Motif]:
         engine = params.engine
         if engine == "auto":
-            import jax  # noqa: PLC0415
-
-            engine = "tpu" if jax.default_backend() != "cpu" else "exact"
+            engine = "tpu" if default_backend_is_accelerator() else "exact"
         if engine == "tpu":
             from .engine_tpu import EngineFallback, process_tpu  # noqa: PLC0415
 
