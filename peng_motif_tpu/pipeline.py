@@ -164,6 +164,12 @@ class Peng:
             except EngineFallback as e:
                 self.log.info(f"TPU engine fallback: {e}; "
                               "running exact engine")
+                # a deferred background model (fused device counting
+                # never happened) starts its threaded host scan now so
+                # it overlaps the exact engine's count phase
+                start = getattr(self.bg_model, "start_host_counting", None)
+                if start is not None:
+                    start()
             finally:
                 self.out = real_out
         return self._process_exact(params)
