@@ -542,7 +542,11 @@ def process_tpu(peng, params) -> List[Motif]:
                 piped = None
                 if lay.m_pad > 65536:
                     # large corpora: slab-pipelined — pack/upload of
-                    # slab k+1 overlaps the device scan of slab k
+                    # slab k+1 overlaps the device scan of slab k.
+                    # (A raw-stream upload with on-device row extraction
+                    # was measured 3-4x slower end to end: the XLA
+                    # overlapping-window materialization costs more
+                    # than the host's threaded 2-bit pack saves.)
                     from .ops.stream_count import (  # noqa: PLC0415
                         stream_count_pipelined)
 
