@@ -195,8 +195,19 @@ def _skip_and_ambiguity(codes: jax.Array, valid: jax.Array, length: int):
     last_zero = jax.lax.cummax(jnp.where(a_p, jnp.int32(-1), j), axis=1)
     run = j - last_zero
     skip = a_p & ((run & 1) == 1)
-    ambiguous = a_p[:, 1, :].any(axis=1) if m > 1 else (
-        jnp.zeros(b, dtype=jnp.bool_))
+    if m > 1:
+        # a chain's zero-padded head can misstate the run parity only
+        # if its element-0 value a[r] = isN(r-1) & valid(r-d) could be
+        # 1: for r >= 1 the isN(r-1) factor is in-row, so a clean base
+        # there *proves* a[r] == 0 and bounds the run — without this
+        # refinement every inter-sequence gap landing in [d, 2d) of a
+        # chunk flagged it suspicious (~25% of chunks on short-read
+        # corpora, each paying the exact host fix-up)
+        head_unbounded = jnp.concatenate(
+            [jnp.ones((b, 1), dtype=jnp.bool_), is_n[:, : d - 1]], axis=1)
+        ambiguous = (a_p[:, 1, :] & head_unbounded).any(axis=1)
+    else:
+        ambiguous = jnp.zeros(b, dtype=jnp.bool_)
     return skip.reshape(b, m * d)[:, :n_win], ambiguous
 
 

@@ -63,6 +63,9 @@ def count_patterns_sharded(
         mesh=mesh,
         in_specs=P("data", None),
         out_specs=(P(), P(), P(), P("data")),
+        # pallas_call (MXU histogram) reports no vma; the outputs are
+        # psum-replicated by construction
+        check_vma=False,
     )
     def shard_count(shard_buf):
         shard_codes = _unpack_codes(shard_buf, seq_len)
@@ -145,6 +148,7 @@ def count_device_full_sharded(
         mesh=mesh,
         in_specs=P("data", None),
         out_specs=(P(), P(), P(), P(), P("data")),
+        check_vma=False,
     )
     def shard_count(shard_buf):
         shard_codes = _unpack_codes(shard_buf, seq_len)
@@ -218,6 +222,7 @@ def stream_count_sharded(
         mesh=mesh,
         in_specs=P("data"),
         out_specs=(P(), P(), P(), P(), P("data"), P()),
+        check_vma=False,
     )
     def shard_count(shard_flat):
         # flat upload (chunk-aligned shards: m_pad % n_shards == 0); a
@@ -246,6 +251,7 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P("data", None), out_specs=P(),
+        check_vma=False,
     )
     def shard_count(shard_buf):
         from ..ops.counting import _unpack_codes, scan_skip_mask  # noqa: PLC0415
