@@ -720,7 +720,9 @@ def process_tpu(peng, params) -> List[Motif]:
                     pwm0_dev, st["counts"].astype(jnp.float32),
                     st["bg_max"], params.em_saturation_factor,
                     params.em_min_threshold, params.em_max_iterations, W)
-                pwm0_np, final_pwms = jax.device_get((pwm0_dev, final_dev))
+                from .utils.packed_fetch import fetch_packed  # noqa: PLC0415
+
+                pwm0_np, final_pwms = fetch_packed((pwm0_dev, final_dev))
             else:
                 pwm0_np = jax.device_get(pwm0_dev)
         for i, motif in enumerate(candidates):

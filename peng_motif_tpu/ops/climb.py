@@ -493,7 +493,11 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
         jnp.asarray(ids), jnp.asarray(valid),
         jnp.float32(n_sequences), jnp.float32(pseudo_expected),
         length, both, score_type, wide=wide)
-    h = jax.device_get(out)
+    # one packed transfer: the trace has 17 leaves and a tunneled
+    # backend pays a full round trip per fetched buffer
+    from ..utils.packed_fetch import fetch_packed  # noqa: PLC0415
+
+    h = fetch_packed(out)
     return WalkTrace(
         improved=np.asarray(h["improved"]),
         chosen_idx=np.asarray(h["chosen_idx"]),
