@@ -41,24 +41,36 @@ def _words(shape, dtype) -> int:
 
 
 def fetch_packed(tree):
-    """device_get an arbitrary pytree of device arrays with a single
-    host<->device round trip; returns the same pytree of numpy
-    arrays."""
+    """device_get an arbitrary pytree of device arrays with (almost)
+    one host<->device round trip; returns the same pytree of numpy
+    arrays.  8-byte dtypes (the wide-mode f64/i64 trace leaves) fetch
+    unpacked — the tunneled backend's X64-rewriting pass cannot lower
+    their bitcast — so they cost one transfer each; everything else
+    shares a single packed blob."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    metas = [(tuple(x.shape), np.dtype(x.dtype)) for x in leaves]
-    flat = np.ascontiguousarray(
-        jax.device_get(_pack_leaves(leaves)), dtype=np.uint32)
-    out = []
-    off = 0
-    for shape, dt in metas:
-        w = _words(shape, dt)
-        chunk = flat[off : off + w]
-        off += w
-        if dt == np.bool_:
-            arr = chunk.astype(bool)
-        elif dt.itemsize > 4 or dt != np.uint32:
-            arr = chunk.view(dt)
-        else:
-            arr = chunk
-        out.append(arr.reshape(shape).copy())
+    pack_idx = [i for i, x in enumerate(leaves)
+                if np.dtype(x.dtype).itemsize <= 4]
+    wide_idx = [i for i in range(len(leaves)) if i not in set(pack_idx)]
+    out = [None] * len(leaves)
+    if wide_idx:
+        wides = jax.device_get([leaves[i] for i in wide_idx])
+        for i, w in zip(wide_idx, wides):
+            out[i] = np.asarray(w)
+    if pack_idx:
+        packable = [leaves[i] for i in pack_idx]
+        metas = [(tuple(x.shape), np.dtype(x.dtype)) for x in packable]
+        flat = np.ascontiguousarray(
+            jax.device_get(_pack_leaves(packable)), dtype=np.uint32)
+        off = 0
+        for i, (shape, dt) in zip(pack_idx, metas):
+            w = _words(shape, dt)
+            chunk = flat[off : off + w]
+            off += w
+            if dt == np.bool_:
+                arr = chunk.astype(bool)
+            elif dt != np.uint32:
+                arr = chunk.view(dt)
+            else:
+                arr = chunk
+            out[i] = arr.reshape(shape).copy()
     return jax.tree_util.tree_unflatten(treedef, out)
