@@ -243,37 +243,37 @@ def _measure_engine(w, engine, out):
     return best, parity
 
 
-def _stream_count_device_roofline():
+def _stream_count_device_roofline(W):
     """Device stream-count throughput + achieved-bandwidth lower bound
-    on the 51.2-Mbase corpus at w8 (round-3 verdict next #10): packed
-    bytes in + fetch blob out per second of warm count+fetch, vs the
-    chip's nominal HBM bandwidth.  The packed-bytes figure is a *lower*
-    bound on real HBM traffic (XLA materializes unpacked intermediates
-    per slab); the honest ceiling context is v5e-class ~819 GB/s."""
+    on the 51.2-Mbase corpus (round-3 verdict next #10): packed bytes
+    in + fetch blob out per second of warm count+fetch, vs the chip's
+    nominal HBM bandwidth.  The packed-bytes figure is a *lower* bound
+    on real HBM traffic (XLA materializes unpacked intermediates per
+    slab); the honest ceiling context is v5e-class ~819 GB/s."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from peng_motif_tpu.io.fasta import read_fasta
     from peng_motif_tpu.ops import stream_count as sc
-    from peng_motif_tpu.ops.counting import _n_canonical
 
     sset = read_fasta(LARGE_PATH)
-    W = 8
     stream, lay = sc.build_stream(
         sset.sequences, W, flat_codes=getattr(sset, "_flat_codes", None))
     buf = jnp.asarray(sc.chunked_packed(stream, lay))
     _, blob = sc.stream_count_device_fused(
         buf, lay.row, lay.ctx, W, True, 2)
     blob_np = jax.device_get(blob)            # warm (compile + backend)
-    t0 = time.perf_counter()
-    _, blob = sc.stream_count_device_fused(
-        buf, lay.row, lay.ctx, W, True, 2)
-    blob_np = jax.device_get(blob)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, blob = sc.stream_count_device_fused(
+            buf, lay.row, lay.ctx, W, True, 2)
+        blob_np = jax.device_get(blob)
+        best = min(best, time.perf_counter() - t0)
     mbases = int(np.sum(lay.lengths)) / 1e6
     bytes_touched = buf.nbytes + blob_np.nbytes
-    return round(mbases / dt, 1), round(bytes_touched / dt / 1e9, 2)
+    return round(mbases / best, 1), round(bytes_touched / best / 1e9, 2)
 
 
 def _warm_start_wall_s():
@@ -346,9 +346,10 @@ def main():
         except Exception as e:  # noqa: BLE001 - bench must still report
             large["large_error"] = f"{type(e).__name__}: {e}"
         try:
-            mbs, gbs = _stream_count_device_roofline()
-            large["stream_count_device_mbases_s"] = mbs
-            large["stream_count_io_gb_s_lower_bound"] = gbs
+            for w in (8, 10):
+                mbs, gbs = _stream_count_device_roofline(w)
+                large[f"stream_count_device_mbases_s_w{w}"] = mbs
+                large[f"stream_count_io_gb_s_lower_bound_w{w}"] = gbs
             large["hbm_nominal_gb_s"] = 819  # v5e-class chip
         except Exception as e:  # noqa: BLE001
             large["roofline_error"] = f"{type(e).__name__}: {e}"
