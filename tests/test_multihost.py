@@ -160,3 +160,38 @@ def test_missing_process_fails_clean(tmp_path):
         raise AssertionError("lone multihost process hung past timeout")
     assert p.returncode != 0
     assert time.time() - t0 < 120
+
+
+def test_threaded_parse_large_file(tmp_path):
+    """Files over the 4 MB threshold take the segmented threaded native
+    parse; its merge (codes order, base counts, bare-'>' renumbering,
+    empty entries) must match the Python reference parser exactly."""
+    import io as _io
+
+    import numpy as np
+
+    from peng_motif_tpu.io.fasta import load_sequence_set, read_fasta
+
+    rng = np.random.default_rng(21)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    path = tmp_path / "big.fasta"
+    with open(path, "wb") as f:
+        for i in range(3000):
+            f.write(b">" if i % 7 == 0 else b">seq%d" % i)  # bare '>' too
+            f.write(b"\n")
+            if i % 31 == 0:
+                f.write(b"\n")          # blank line inside a record
+            row = letters[rng.integers(0, 4, size=2000)].tobytes()
+            f.write(row[:1000] + b"\n" + row[1000:] + b"\n")  # wrapped
+            if i % 53 == 0:
+                f.write(b">empty%d\n" % i)   # entry without sequence
+        f.write(b">last\nACGTNNACGT\n")      # undefined bases at EOF
+    assert path.stat().st_size > 4 << 20
+
+    nat = load_sequence_set(str(path))
+    py = read_fasta(str(path), warn_stream=_io.StringIO())
+    assert len(nat.sequences) == len(py.sequences)
+    for a, b in zip(nat.sequences, py.sequences):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(
+        nat.base_frequencies, py.base_frequencies, rtol=1e-6)
