@@ -421,6 +421,26 @@ def _select_seeds_host(z: np.ndarray, counts: np.ndarray, W: int,
     return selected
 
 
+def _bg_corrections(sset, bgm, flat, lay):
+    """Host completion of the fused device bg histogram (computed while
+    the device count is in flight; see models/background.py)."""
+    from .models.background import bg_device_corrections  # noqa: PLC0415
+
+    return bg_device_corrections(
+        sset.sequences, bgm.order, flat_codes=flat, lengths=lay.lengths)
+
+
+def _deliver_bg(bgm, bg_words, bg_corr):
+    """Split the fetched fused histogram into per-order vectors, add
+    the host corrections, and hand the counts to the deferred model."""
+    from .ops.stream_count import bg_offset  # noqa: PLC0415
+
+    words = np.asarray(bg_words, dtype=np.int64)
+    bgm.provide_counts([
+        words[bg_offset(k) : bg_offset(k) + 4 ** (k + 1)] + bg_corr[k]
+        for k in range(bgm.order + 1)])
+
+
 def _digits_to_iupac_id(digits) -> int:
     out = 0
     for p, d in enumerate(digits):
@@ -563,12 +583,7 @@ def process_tpu(peng, params) -> List[Motif]:
                         buf, lay.row, lay.ctx, W, both, bg_order)
                 mark("count dispatch")
                 if defer_bg:
-                    from .models.background import (  # noqa: PLC0415
-                        bg_device_corrections)
-
-                    bg_corr = bg_device_corrections(
-                        sset.sequences, bgm.order, flat_codes=flat,
-                        lengths=lay.lengths)
+                    bg_corr = _bg_corrections(sset, bgm, flat, lay)
                 else:
                     v = _bg_v()  # overlaps the in-flight device count
                 mark("bg model")
@@ -576,28 +591,16 @@ def process_tpu(peng, params) -> List[Motif]:
                 ltot, max_c, susp_np, vals, bg_words = split_fetch_blob(
                     jax.device_get(blob_dev), lay.m_pad, n_canon, bg_order)
                 if defer_bg:
-                    from .ops.stream_count import bg_offset  # noqa: PLC0415
-
-                    bgm.provide_counts([
-                        bg_words[bg_offset(k) : bg_offset(k) + 4 ** (k + 1)]
-                        + bg_corr[k] for k in range(bgm.order + 1)])
+                    _deliver_bg(bgm, bg_words, bg_corr)
                     v = _bg_v()
                 mark("blob fetch")
             if params.mesh is not None:
                 if defer_bg:
-                    from .models.background import (  # noqa: PLC0415
-                        bg_device_corrections)
-                    from .ops.stream_count import bg_offset  # noqa: PLC0415
-
-                    bg_corr = bg_device_corrections(
-                        sset.sequences, bgm.order, flat_codes=flat,
-                        lengths=lay.lengths)
+                    # corrections overlap the in-flight collective
+                    bg_corr = _bg_corrections(sset, bgm, flat, lay)
                     vals, max_c, ltot, susp_np, bg_words = jax.device_get(
                         (vals_u16, max_c, ltot_dev, susp_dev, bg_dev))
-                    bgm.provide_counts([
-                        np.asarray(bg_words, dtype=np.int64)[
-                            bg_offset(k) : bg_offset(k) + 4 ** (k + 1)]
-                        + bg_corr[k] for k in range(bgm.order + 1)])
+                    _deliver_bg(bgm, bg_words, bg_corr)
                     v = _bg_v()
                 else:
                     v = _bg_v()  # overlaps the in-flight device count
