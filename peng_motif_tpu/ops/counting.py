@@ -51,13 +51,14 @@ from .pallas_hist import histogram
 def _host_count_max_bases() -> int:
     """Inputs at or below this many bases count on host (see CountJob).
 
-    The default favors the threaded native scan well past the old
-    8-Mbase mark: on a tunneled accelerator the device path's
-    transfer + fetch stalls make it slower than host C++ until far
-    larger corpora, and the exact engine's phases are host-native
-    anyway.  The TPU engine's stream counting is unaffected (its table
-    must be device-resident)."""
-    return int(os.environ.get("PENG_COUNT_HOST_MAX_BASES", 128_000_000))
+    Default: everything.  The batch device path materializes the whole
+    [N, L] window machinery in one program — measured no faster than
+    the threaded native scan on realistic corpora and an HBM OOM at
+    ~1 Gbase — while the TPU *engine* counts through the slabbed
+    stream path and is unaffected by this knob.  The env override
+    exists so tests (and unusual deployments) can still force the
+    batch device path."""
+    return int(os.environ.get("PENG_COUNT_HOST_MAX_BASES", 1 << 62))
 
 
 def scan_skip_mask(codes: jax.Array, valid: jax.Array, length: int):
