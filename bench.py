@@ -124,6 +124,9 @@ def _measure_large(w, ref_s):
     return best_t, parity, exact_s
 
 
+DEGRADED_RUNS = 0  # watchdog fallbacks during --engine tpu measurements
+
+
 def run_once_path(data, out_path, w, engine=None, timing=False):
     import contextlib
 
@@ -138,6 +141,15 @@ def run_once_path(data, out_path, w, engine=None, timing=False):
     with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(ebuf):
         rc = main(argv)
     assert rc == 0
+    if engine == "tpu":
+        # honesty: a watchdog fallback silently runs the host engine; a
+        # "tpu" wall that actually measured the exact engine must be
+        # flagged, never reported as a device number
+        import peng_motif_tpu.pipeline as _pl
+
+        if _pl.LAST_ENGINE_USED != "tpu":
+            global DEGRADED_RUNS
+            DEGRADED_RUNS += 1
     return ebuf.getvalue()
 
 
@@ -391,6 +403,10 @@ def main():
                     "counting_device_mbases_s": counting_mbs,
                     "warmup_wall_s": round(warm, 3),
                     "warm_start_wall_s": warm_start,
+                    # >0 means some '--engine tpu' measurements actually
+                    # ran the host engine via watchdog fallback (wedged
+                    # tunnel) — treat those walls as host numbers
+                    "tpu_runs_degraded_to_exact": DEGRADED_RUNS,
                     **large,
                 },
             }

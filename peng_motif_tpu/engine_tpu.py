@@ -421,6 +421,47 @@ def _select_seeds_host(z: np.ndarray, counts: np.ndarray, W: int,
     return selected
 
 
+_warmed_keys: set = set()
+
+
+def _spawn_phase34_warmup(counts_dev, n_selected: int, W: int, both: bool,
+                          wide: bool, params):
+    """Cold-start overlap: concurrently compile the adv-PWM and EM
+    programs (predicted motif-slot bucket) while the climb program
+    compiles and runs.  Remote compiles scale perfectly in parallel
+    (measured: two compiles in the time of one), so on a cold process
+    this hides 10-30 s of serial compile wall.  A mispredicted bucket
+    costs nothing on the critical path — the dummy dispatch runs in the
+    background and the real shapes compile as before."""
+    import threading
+
+    m_pad = max(4, 1 << (max(n_selected, 1) - 1).bit_length())
+    key = (W, both, wide, m_pad, params.adv_pwm, params.use_em)
+    if key in _warmed_keys:
+        return
+    _warmed_keys.add(key)
+
+    def _warm():
+        try:
+            if params.adv_pwm:
+                pwm0 = adv_pwm_program(
+                    jnp.zeros((m_pad, W), jnp.int32), counts_dev,
+                    jnp.full(4, 0.25, jnp.float32),
+                    params.pseudo_counts, W, both, wide=wide)
+            else:
+                pwm0 = jnp.full((m_pad, W, 4), 0.25, jnp.float32)
+            if params.use_em:
+                em_ops.em_optimize_flat(
+                    pwm0, counts_dev.astype(jnp.float32),
+                    jnp.full(4 ** W, 0.25, jnp.float32),
+                    params.em_saturation_factor, params.em_min_threshold,
+                    params.em_max_iterations, W)
+        except Exception:  # speculative only — never surface
+            pass
+
+    threading.Thread(target=_warm, daemon=True).start()
+
+
 def _bg_corrections(sset, bgm, flat, lay):
     """Host completion of the fused device bg histogram (computed while
     the device count is in flight; see models/background.py)."""
@@ -666,6 +707,9 @@ def process_tpu(peng, params) -> List[Motif]:
     print(file=out)
     if len(selected) > params.max_optimized_patterns:
         selected = selected[: params.max_optimized_patterns]
+
+    # cold start: compile phases 3+4 concurrently with the climb
+    _spawn_phase34_warmup(st["counts"], len(selected), W, both, wide, params)
 
     # -- phase 2: the climb — one device dispatch runs all walks in
     # lockstep; the host replays the sequential seen-set bookkeeping

@@ -54,6 +54,12 @@ _IUPAC_SIMILAR_ARR = tuple(
 _POW11 = 11 ** np.arange(19, dtype=np.int64)  # 11**19 would overflow int64
 
 
+# which engine actually produced the last completed run ("tpu" or
+# "exact") — the bench reads this to flag watchdog/fallback-degraded
+# measurements instead of mislabeling a host run as a device run
+LAST_ENGINE_USED = None
+
+
 def default_backend_is_accelerator() -> bool:
     """Engine auto-resolution WITHOUT initializing the backend: on a
     tunneled backend, a parent-process backend connection started
@@ -146,6 +152,7 @@ class Peng:
 
     # ------------------------------------------------------------------
     def process(self, params: PengParameters) -> List[Motif]:
+        global LAST_ENGINE_USED
         engine = params.engine
         if engine == "auto":
             engine = "tpu" if default_backend_is_accelerator() else "exact"
@@ -160,6 +167,7 @@ class Peng:
             try:
                 result = process_tpu(self, params)
                 real_out.write(buf.getvalue())
+                LAST_ENGINE_USED = "tpu"
                 return result
             except EngineFallback as e:
                 self.log.info(f"TPU engine fallback: {e}; "
@@ -172,7 +180,9 @@ class Peng:
                     start()
             finally:
                 self.out = real_out
-        return self._process_exact(params)
+        result = self._process_exact(params)
+        LAST_ENGINE_USED = "exact"
+        return result
 
     def _process_exact(self, params: PengParameters) -> List[Motif]:
         """The byte-exact host/native engine (--engine exact)."""
