@@ -34,6 +34,13 @@ def _enable_compilation_cache():
         # wider defaults do not change any table layouts.
         jax.config.update("jax_enable_x64", True)
 
+        # tunneled backends (axon): compiles run server-side, so the
+        # local persistent cache cannot capture them and its executable
+        # serialization measurably stalls the relay — skip unless the
+        # user opts in with an explicit cache dir
+        if ("axon" in (_plat or "")
+                and "PENG_JAX_CACHE_DIR" not in _os.environ):
+            return
         cache_dir = _os.environ.get(
             "PENG_JAX_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "peng_motif_tpu"),

@@ -3,17 +3,4 @@ import sys
 from .cli import main
 
 if __name__ == "__main__":
-    rc = main()
-    # a watchdog probe thread wedged inside an uninterruptible device
-    # call makes normal interpreter teardown abort (the runtime is torn
-    # down under the stuck thread); skip teardown in that case — the
-    # output files and streams are already written and flushed.  Only
-    # consulted when the engine module was actually loaded.
-    et = sys.modules.get("peng_motif_tpu.engine_tpu")
-    if et is not None and et.stuck_probe_threads():
-        sys.stdout.flush()
-        sys.stderr.flush()
-        import os
-
-        os._exit(rc)
-    raise SystemExit(rc)
+    raise SystemExit(main())

@@ -346,14 +346,6 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    if cfg["engine"] != "exact":
-        # launch the watchdog probe subprocess now so it overlaps the
-        # FASTA parse and background setup (engine_tpu._backend_responsive
-        # harvests it before the first device touch)
-        from .engine_tpu import start_backend_probe
-
-        start_backend_probe()
-
     from .io.fasta import FastaFormatError
 
     if cfg["num_processes"] > 1 and cfg["process_id"] != 0:

@@ -85,12 +85,11 @@ class EngineFallback(Exception):
 
 
 _backend_probe_ok: bool | None = None
-_probe_proc = None
 _PROBE_TTL_S = 300.0
 
 
 def stuck_probe_threads() -> bool:
-    """Kept for the CLI exit check; the subprocess-based watchdog never
+    """Kept for the CLI exit check; the HTTP-based watchdog never
     wedges an in-process thread, so this is now always False."""
     return False
 
@@ -98,29 +97,14 @@ def stuck_probe_threads() -> bool:
 def _probe_needed() -> bool:
     """The wedge class the watchdog guards against only exists on
     tunneled backends (JAX_PLATFORMS mentions axon); a local CPU/TPU
-    backend cannot hang a transfer indefinitely.  (The tunneled plugin
-    also cannot initialize on a non-main thread, so the probe must be
-    a subprocess — which is only worth its ~2 s on the tunnel.)  A
-    config-level cpu pin (how the test suite forces CPU — the env var
-    alone is overridden by the tunneled plugin) also skips it."""
+    backend cannot hang a transfer indefinitely.  A config-level cpu
+    pin (how the test suite forces CPU — the env var alone is
+    overridden by the tunneled plugin) also skips it."""
     import os
 
     if jax.config.jax_platforms and "axon" not in jax.config.jax_platforms:
         return False
     return "axon" in os.environ.get("JAX_PLATFORMS", "")
-
-
-def _probe_cmd() -> str:
-    """Probe command for the subprocess, mirroring the parent's
-    platform pin (config wins over the env var in this runtime)."""
-    pin = ""
-    if jax.config.jax_platforms:
-        pin = ("import jax;"
-               f"jax.config.update('jax_platforms', "
-               f"{jax.config.jax_platforms!r});")
-    return (pin + "import jax, jax.numpy as jnp;"
-            "jax.device_get(jnp.ones((8,), jnp.float32).sum());"
-            "print('ok')")
 
 
 def _probe_ttl_path() -> str:
@@ -131,48 +115,45 @@ def _probe_ttl_path() -> str:
         tempfile.gettempdir(), f"peng_device_ok_{os.getuid()}")
 
 
-def start_backend_probe():
-    """Launch the watchdog probe subprocess without waiting (the CLI
-    calls this before parsing so the probe overlaps host work).
-    No-op when not needed or already answered/ttl-fresh."""
-    global _probe_proc
+def _relay_http_ok(timeout_s: float) -> bool:
+    """One HTTP round trip through the tunnel relay (the remote answers
+    404 on the compile port's root in ~0.2 s when healthy).  This
+    exercises the full transport without any jax/TPU client machinery —
+    crucially, without a subprocess backend init, which the parent's
+    own in-flight jax import blocks for ~75 s (the failure mode that
+    made every earlier probe design starve itself)."""
     import os
-    import subprocess
-    import sys
-    import time
+    import urllib.request
 
-    if (_backend_probe_ok is not None or _probe_proc is not None
-            or not _probe_needed()):
-        return
+    url = os.environ.get("PENG_PROBE_URL", "http://127.0.0.1:8093/")
     try:
-        if (time.time() - os.path.getmtime(_probe_ttl_path())
-                < _PROBE_TTL_S):
-            return
-    except OSError:
-        pass
-    _probe_proc = subprocess.Popen(
-        [sys.executable, "-c", _probe_cmd()],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        urllib.request.urlopen(url, timeout=timeout_s)
+        return True
+    except urllib.error.HTTPError:
+        return True  # any HTTP status is a completed round trip
+    except Exception:
+        return False
+
+
+def start_backend_probe():
+    """Compatibility no-op: the HTTP probe is instant, nothing to
+    pre-launch."""
 
 
 def _backend_responsive() -> bool:
-    """Watchdog for a wedged device backend (tunneled TPUs can hang
-    mid-transfer, and a hung ``device_get`` is uninterruptible): an
-    isolated subprocess runs a tiny dispatch+fetch within
-    ``PENG_DEVICE_TIMEOUT`` seconds (default 75, 0 disables).  Success
-    is cached in-process and in a ttl file (5 min), so repeat CLI
-    invocations skip the probe; a failure re-probes on the next engine
-    invocation.  On timeout the engine falls back to the exact host
-    path instead of hanging (the reference binary, src/main.cpp, can
-    never hang — neither may we)."""
-    global _backend_probe_ok, _probe_proc
+    """Watchdog for a dead/unreachable device tunnel: one HTTP round
+    trip through the relay within ``PENG_DEVICE_TIMEOUT`` seconds
+    (default 10, 0 disables), retried once.  Success is cached
+    in-process and in a ttl file (5 min).  On failure the engine falls
+    back to the exact host path instead of hanging (the reference
+    binary, src/main.cpp, can never hang — neither may we)."""
+    global _backend_probe_ok
     if _backend_probe_ok is True:
         return True
     import os
-    import subprocess
     import time
 
-    timeout = float(os.environ.get("PENG_DEVICE_TIMEOUT", "75"))
+    timeout = float(os.environ.get("PENG_DEVICE_TIMEOUT", "10"))
     if timeout <= 0 or not _probe_needed():
         _backend_probe_ok = True
         return True
@@ -183,30 +164,13 @@ def _backend_responsive() -> bool:
             return True
     except OSError:
         pass
-    if _backend_probe_ok is False:
-        timeout = min(timeout, 15.0)  # retry after an earlier failure
-    if _probe_proc is None:
-        start_backend_probe()
-    proc, ok = _probe_proc, False
-    _probe_proc = None
-    dbg = os.environ.get("PENG_DEBUG_TIMING")
-    if proc is not None:
-        t0 = time.time()
-        try:
-            out, _ = proc.communicate(timeout=timeout)
-            ok = "ok" in (out or "")
-            if dbg:
-                import sys as _sys
+    t0 = time.time()
+    ok = _relay_http_ok(timeout) or _relay_http_ok(timeout)
+    if os.environ.get("PENG_DEBUG_TIMING"):
+        import sys as _sys
 
-                print(f"[WATCHDOG] probe answered {ok} in "
-                      f"{time.time() - t0:.1f}s", file=_sys.stderr)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            if dbg:
-                import sys as _sys
-
-                print(f"[WATCHDOG] probe timeout after {timeout:.0f}s",
-                      file=_sys.stderr)
+        print(f"[WATCHDOG] relay probe {ok} in {time.time() - t0:.2f}s",
+              file=_sys.stderr)
     if ok:
         try:
             with open(_probe_ttl_path(), "w"):

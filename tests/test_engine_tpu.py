@@ -199,23 +199,28 @@ def test_watchdog_probe_ok_on_live_backend(monkeypatch):
     assert et._backend_probe_ok is True
 
 
-def test_watchdog_subprocess_probe(monkeypatch, tmp_path):
-    """Force the tunneled-backend probe machinery (subprocess + ttl
-    file) on the CPU backend: the probe subprocess answers, the ttl
-    file appears, and a second call short-circuits on it."""
+def test_watchdog_relay_probe(monkeypatch, tmp_path):
+    """Force the tunneled-backend probe machinery (relay HTTP round
+    trip + ttl file) on the CPU backend: a healthy probe writes the
+    ttl, a second call short-circuits on it, and a dead relay reports
+    unresponsive."""
     import os
 
     import peng_motif_tpu.engine_tpu as et
 
     ttl = str(tmp_path / "ok")
     monkeypatch.setattr(et, "_backend_probe_ok", None)
-    monkeypatch.setattr(et, "_probe_proc", None)
     monkeypatch.setattr(et, "_probe_needed", lambda: True)
     monkeypatch.setattr(et, "_probe_ttl_path", lambda: ttl)
+    monkeypatch.setattr(et, "_relay_http_ok", lambda t: True)
     assert et._backend_responsive()
     assert os.path.exists(ttl)
     monkeypatch.setattr(et, "_backend_probe_ok", None)
+    monkeypatch.setattr(et, "_relay_http_ok", lambda t: False)
     assert et._backend_responsive()   # ttl short-circuit
+    os.remove(ttl)
+    monkeypatch.setattr(et, "_backend_probe_ok", None)
+    assert not et._backend_responsive()   # dead relay -> fallback
 
 
 @pytest.mark.slow
