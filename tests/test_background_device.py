@@ -113,3 +113,68 @@ def test_deferred_model_provide_and_fallback():
     m3.start_host_counting()
     for a, b in zip(m3.v, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_corrections_without_flat_codes():
+    """bg_device_corrections must concatenate sequences itself when no
+    contiguous parse buffer is supplied (or when it mismatches)."""
+    rng = np.random.default_rng(8)
+    seqs = [rng.integers(0, 5, size=int(n)).astype(np.uint8)
+            for n in rng.integers(5, 60, size=12)]
+    with_flat = bg_device_corrections(
+        seqs, 2, flat_codes=np.concatenate(seqs),
+        lengths=np.array([len(s) for s in seqs]))
+    without = bg_device_corrections(seqs, 2)
+    mismatched = bg_device_corrections(
+        seqs, 2, flat_codes=np.zeros(3, np.uint8))
+    for k in range(3):
+        np.testing.assert_array_equal(with_flat[k], without[k])
+        np.testing.assert_array_equal(with_flat[k], mismatched[k])
+
+
+def test_defer_gate_cli_paths(tmp_path, monkeypatch):
+    """The CLI only defers the bg model when the engine will count it
+    on device: a separate --background-sequences corpus must take the
+    host path and still reproduce the reference output."""
+    import os
+
+    from conftest import GOLDEN_DIR
+    from peng_motif_tpu.cli import main
+
+    # separate bg corpus (the golden bgmafk config): byte parity via
+    # the non-deferred path under --engine tpu
+    out = str(tmp_path / "o.meme")
+    rc = main([os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
+               "--background-sequences",
+               os.path.join(GOLDEN_DIR, "MafK.fasta"),
+               "--engine", "tpu", "-o", out])
+    assert rc == 0
+    golden = os.path.join(GOLDEN_DIR, "mafk100_w8_bgmafk.meme")
+    got = open(out).read().splitlines()
+    want = open(golden).read().splitlines()
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        if a == b:
+            continue
+        for x, y in zip(a.split(), b.split()):
+            if x != y:
+                assert abs(float(x) - float(y)) <= 5e-6 + 1e-6 * abs(
+                    float(y))
+
+
+def test_last_engine_used_tracking(tmp_path):
+    """pipeline.LAST_ENGINE_USED must record which engine actually ran
+    (the bench's degraded-run honesty flag depends on it)."""
+    import os
+
+    import peng_motif_tpu.pipeline as pl
+    from conftest import GOLDEN_DIR
+    from peng_motif_tpu.cli import main
+
+    fa = os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta")
+    assert main([fa, "-w", "8", "--engine", "tpu",
+                 "-o", str(tmp_path / "a.meme")]) == 0
+    assert pl.LAST_ENGINE_USED == "tpu"
+    assert main([fa, "-w", "8", "--engine", "exact",
+                 "-o", str(tmp_path / "b.meme")]) == 0
+    assert pl.LAST_ENGINE_USED == "exact"
