@@ -833,6 +833,34 @@ extern "C" void bg_count_kmers(const uint8_t* codes, const int64_t* lengths,
 // host->device link than raw uint8 codes; one buffer = one transfer.
 // --------------------------------------------------------------------------
 
+
+// Pack one row of BaMM codes into 2-bit values + N bitmask.  Grouped by
+// output byte (no read-modify-write carried across iterations) so the
+// compiler vectorizes; the scalar tail handles row lengths not a
+// multiple of 8.
+static inline void pack_row_fast(const uint8_t* row, int64_t row_len,
+                                 uint8_t* base2, uint8_t* nbits) {
+  const int64_t full8 = row_len / 8;
+  for (int64_t k = 0; k < full8; k++) {
+    const uint8_t* p = row + k * 8;
+    base2[k * 2] = (uint8_t)(((p[0] - 1) & 3) | (((p[1] - 1) & 3) << 2) |
+                             (((p[2] - 1) & 3) << 4) |
+                             (((p[3] - 1) & 3) << 6));
+    base2[k * 2 + 1] = (uint8_t)(((p[4] - 1) & 3) | (((p[5] - 1) & 3) << 2) |
+                                 (((p[6] - 1) & 3) << 4) |
+                                 (((p[7] - 1) & 3) << 6));
+    nbits[k] = (uint8_t)((p[0] == 0) | ((p[1] == 0) << 1) |
+                         ((p[2] == 0) << 2) | ((p[3] == 0) << 3) |
+                         ((p[4] == 0) << 4) | ((p[5] == 0) << 5) |
+                         ((p[6] == 0) << 6) | ((p[7] == 0) << 7));
+  }
+  for (int64_t j = full8 * 8; j < row_len; j++) {
+    const uint8_t c = row[j];
+    base2[j >> 2] |= (uint8_t)(((c - 1) & 3) << ((j & 3) * 2));
+    if (c == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
+  }
+}
+
 extern "C" void pack_codes_native(const uint8_t* codes, int64_t n_rows,
                                   int64_t row_len, uint8_t* out) {
   const int64_t c4 = (row_len + 3) / 4;
@@ -844,11 +872,7 @@ extern "C" void pack_codes_native(const uint8_t* codes, int64_t n_rows,
       uint8_t* base2 = out + r * out_stride;
       uint8_t* nbits = base2 + c4;
       memset(base2, 0, out_stride);
-      for (int64_t j = 0; j < row_len; j++) {
-        uint8_t c = row[j];
-        base2[j >> 2] |= (uint8_t)(((c - 1) & 3) << ((j & 3) * 2));
-        if (c == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
-      }
+      pack_row_fast(row, row_len, base2, nbits);
     }
   });
 }
@@ -1828,11 +1852,7 @@ extern "C" void chunk_pack_range_native(
       uint8_t* base2 = out + r * stride;
       uint8_t* nbits = base2 + c4;
       memset(base2, 0, (size_t)stride);
-      for (int64_t j = 0; j < row; j++) {
-        const uint8_t cc = buf[j];
-        base2[j >> 2] |= (uint8_t)(((cc - 1) & 3) << ((j & 3) * 2));
-        if (cc == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
-      }
+      pack_row_fast(buf.data(), row, base2, nbits);
     }
   });
 }
@@ -1856,11 +1876,7 @@ extern "C" void chunk_pack_native(
       uint8_t* base2 = out + c * stride;
       uint8_t* nbits = base2 + c4;
       memset(base2, 0, (size_t)stride);
-      for (int64_t j = 0; j < row; j++) {
-        const uint8_t cc = buf[j];
-        base2[j >> 2] |= (uint8_t)(((cc - 1) & 3) << ((j & 3) * 2));
-        if (cc == 0) nbits[j >> 3] |= (uint8_t)(1 << (j & 7));
-      }
+      pack_row_fast(buf.data(), row, base2, nbits);
     }
   });
 }
