@@ -176,6 +176,61 @@ def mxu_histogram_blocked(flat_ids, flat_inc, n_bins: int,
     return out.reshape(-1)[:n_bins]
 
 
+_SQ_LO = 1024  # lo-axis width of the square split
+
+
+def _hist_kernel_sq(ids_ref, out_ref, *, nhi: int, block: int):
+    """Square-split variant for big tables: id = hi * 1024 + lo.
+
+    The one-hot build is the VPU bound of the matmul histogram — its
+    cost is (nhi + lo_width) * block elements.  The original 128-lane
+    split pays (n_bins/128 + 128); splitting ~square pays
+    (n_bins/1024 + 1024) — 4x fewer elements at 4^10 — and the matmul
+    N dimension grows from one lane tile to eight."""
+    g = pl.program_id(0)
+    ids = ids_ref[0, 0, :]
+    hi = ids // jnp.int32(_SQ_LO)
+    lo = ids % jnp.int32(_SQ_LO)
+    h_t = (jax.lax.broadcasted_iota(jnp.int32, (nhi, block), 0)
+           == hi[None, :]).astype(jnp.int8)
+    l_t = (jax.lax.broadcasted_iota(jnp.int32, (_SQ_LO, block), 0)
+           == lo[None, :]).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        h_t, l_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # [nhi, 1024]
+
+    @pl.when(g == jnp.int32(0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def mxu_histogram_sq(flat_ids, flat_inc, n_bins: int, block: int = 2048):
+    """counts [n_bins] int32 via the square-split kernel (callers
+    guarantee n_bins % 1024 == 0)."""
+    if flat_ids.shape[0] == 0:
+        return jnp.zeros(n_bins, dtype=jnp.int32)
+    ids = jnp.where(
+        flat_inc != 0, flat_ids.astype(jnp.int32), jnp.int32(n_bins))
+    n = ids.shape[0]
+    pad = (-n) % block
+    if pad:
+        ids = jnp.pad(ids, (0, pad), constant_values=n_bins)
+    ids = ids.astype(jnp.int32)
+    g = (n + pad) // block
+    nhi = n_bins // _SQ_LO + 1                  # +1: trash row
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_hist_kernel_sq, nhi=nhi, block=block),
+            grid=(g,),
+            in_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((nhi, _SQ_LO), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nhi, _SQ_LO), jnp.int32),
+        )(ids.reshape(g, 1, block))
+    return out.reshape(-1)[:n_bins]
+
+
 def use_mxu_histogram() -> bool:
     """MXU path only on a real TPU backend (interpret-mode pallas on
     CPU is orders of magnitude slower than the XLA scatter)."""
@@ -195,13 +250,17 @@ def _variant() -> str:
 
 def histogram(flat_ids, flat_inc, n_bins: int):
     """Dispatch: MXU one-hot-matmul histogram on TPU when the table
-    fits VMEM, XLA scatter-add otherwise (CPU, giant tables).
+    fits VMEM — the square split for big tables (less one-hot VPU work,
+    wider matmul N), the 128-lane split for small ones — and the XLA
+    scatter-add otherwise (CPU, giant tables).
     PENG_HIST_VARIANT=blocked selects the hi-blocked kernel (A/B
     switch; also exercises the any-size accumulator path)."""
     if use_mxu_histogram() and n_bins % _LANES == 0:
         if _variant() == "blocked":
             return mxu_histogram_blocked(flat_ids, flat_inc, n_bins)
         if n_bins <= _MAX_BINS:
+            if n_bins >= (1 << 18) and n_bins % _SQ_LO == 0:
+                return mxu_histogram_sq(flat_ids, flat_inc, n_bins, 4096)
             return mxu_histogram(flat_ids, flat_inc, n_bins)
     return jnp.zeros(n_bins, dtype=jnp.int32).at[flat_ids].add(
         flat_inc.astype(jnp.int32))
