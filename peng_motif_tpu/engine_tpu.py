@@ -96,14 +96,19 @@ def stuck_probe_threads() -> bool:
 
 def _probe_needed() -> bool:
     """The wedge class the watchdog guards against only exists on
-    tunneled backends (JAX_PLATFORMS mentions axon); a local CPU/TPU
-    backend cannot hang a transfer indefinitely.  A config-level cpu
-    pin (how the test suite forces CPU — the env var alone is
-    overridden by the tunneled plugin) also skips it."""
+    remote/tunneled backends; a local CPU/TPU backend cannot hang a
+    transfer indefinitely.  Armed when (a) the user set PENG_PROBE_URL
+    (explicit opt-in: ANY remote backend with an HTTP-probeable relay
+    gets the no-hang contract), or (b) the platform pin mentions the
+    known tunneled plugin ("axon") — config pin first (how the test
+    suite forces CPU; the env var alone is overridden by the tunneled
+    plugin), env var only when the config pin is empty."""
     import os
 
-    if jax.config.jax_platforms and "axon" not in jax.config.jax_platforms:
-        return False
+    if os.environ.get("PENG_PROBE_URL"):
+        return True
+    if jax.config.jax_platforms:
+        return "axon" in jax.config.jax_platforms
     return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
@@ -530,6 +535,13 @@ def process_tpu(peng, params) -> List[Motif]:
             flat = getattr(sset, "_flat_codes", None)
             defer_bg = (getattr(bgm, "deferred", False)
                         and bgm.order <= 3 and 2 * (W - 1) >= 8)
+            if defer_bg and flat is not None and flat.shape[0] >= 1_500_000_000:
+                # int32 bg-bin headroom: an order-0 bin holds up to one
+                # count per base (skewed composition), and unlike the
+                # W-mer table there is no max_c/overflow refetch for the
+                # fused histogram — past ~1.5 Gbases take the threaded
+                # host scan instead of risking a silent wrap
+                defer_bg = False
             if defer_bg and flat is not None and \
                     int(np.count_nonzero(flat == 0)) > 20_000_000:
                 # mass-N corpora: the per-N correction scan would rival

@@ -206,6 +206,16 @@ def _hist_kernel_sq(ids_ref, out_ref, *, nhi: int, block: int):
     out_ref[...] += part
 
 
+def _sq_block_for(n_bins: int) -> int:
+    """Window block for the square-split kernel, sized against VMEM:
+    concurrent residents are h_t [nhi, block] i8 + l_t [1024, block] i8
+    + part and accumulator [nhi, 1024] i32 (+ double-buffered id
+    blocks).  At 4**10 (nhi=1025) block=4096 totals ~17 MB — at/above
+    the 16 MB budget on smaller-VMEM generations — so the block halves
+    once the table itself costs 8 MB of i32 residents."""
+    return 4096 if n_bins <= (1 << 19) else 2048
+
+
 def mxu_histogram_sq(flat_ids, flat_inc, n_bins: int, block: int = 2048):
     """counts [n_bins] int32 via the square-split kernel (callers
     guarantee n_bins % 1024 == 0)."""
@@ -260,7 +270,8 @@ def histogram(flat_ids, flat_inc, n_bins: int):
             return mxu_histogram_blocked(flat_ids, flat_inc, n_bins)
         if n_bins <= _MAX_BINS:
             if n_bins >= (1 << 18) and n_bins % _SQ_LO == 0:
-                return mxu_histogram_sq(flat_ids, flat_inc, n_bins, 4096)
+                return mxu_histogram_sq(
+                    flat_ids, flat_inc, n_bins, _sq_block_for(n_bins))
             return mxu_histogram(flat_ids, flat_inc, n_bins)
     return jnp.zeros(n_bins, dtype=jnp.int32).at[flat_ids].add(
         flat_inc.astype(jnp.int32))

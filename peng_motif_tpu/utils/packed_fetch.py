@@ -68,6 +68,13 @@ def fetch_packed(tree):
             off += w
             if dt == np.bool_:
                 arr = chunk.astype(bool)
+            elif dt.itemsize < 4:
+                # device widened each element to one u32 word by VALUE
+                # (astype); a view() would reinterpret the word bytes and
+                # yield 2x/4x too many elements.  astype undoes the value
+                # cast (uint32 -> signed wraps modulo 2**bits, matching
+                # the device-side promotion).
+                arr = chunk.astype(dt)
             elif dt != np.uint32:
                 arr = chunk.view(dt)
             else:

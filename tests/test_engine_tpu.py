@@ -179,6 +179,31 @@ def test_watchdog_fallback_to_exact(monkeypatch, tmp_path):
     _run_and_diff(argv, "mafk100_w8", tmp_path)
 
 
+def test_probe_needed_trigger(monkeypatch):
+    """Watchdog arming rules: PENG_PROBE_URL is an explicit opt-in for
+    ANY remote backend; otherwise the config-level platform pin decides
+    (env var consulted only when the config pin is empty)."""
+    import peng_motif_tpu.engine_tpu as et
+
+    # test suite pins config to cpu -> not needed by default
+    monkeypatch.delenv("PENG_PROBE_URL", raising=False)
+    assert not et._probe_needed()
+    # explicit opt-in overrides the pin
+    monkeypatch.setenv("PENG_PROBE_URL", "http://127.0.0.1:9/")
+    assert et._probe_needed()
+    # config pin mentioning the tunneled plugin arms it even when the
+    # env var was scrubbed (the round-4 silent-disarm bug)
+    monkeypatch.delenv("PENG_PROBE_URL", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    import jax
+
+    jax.config.update("jax_platforms", "axon,cpu")
+    try:
+        assert et._probe_needed()
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+
+
 def test_watchdog_failure_reprobes(monkeypatch):
     """An earlier probe failure must not demote the process forever:
     the next engine invocation re-probes and recovers when the backend

@@ -19,6 +19,12 @@ def test_roundtrip_all_dtypes():
         "u32": jnp.asarray(rng.integers(0, 2**32, size=6,
                                         dtype=np.uint32)),
         "bool": jnp.asarray(rng.random(9) < 0.5),
+        "i8": jnp.asarray(rng.integers(-128, 128, size=13, dtype=np.int8)),
+        "u8": jnp.asarray(rng.integers(0, 256, size=10, dtype=np.uint8)),
+        "i16": jnp.asarray(rng.integers(-2**15, 2**15, size=7,
+                                        dtype=np.int16)),
+        "u16": jnp.asarray(rng.integers(0, 2**16, size=5,
+                                        dtype=np.uint16)),
         "scalar_i": jnp.int32(-7),
         "scalar_f": jnp.float32(3.25),
         "special": jnp.asarray(np.array(
