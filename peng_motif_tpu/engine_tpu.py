@@ -56,6 +56,7 @@ from .models.motif import MIN_MERGE_OVERLAP, Motif
 from .ops import em as em_ops
 from .ops import flat_tables as ft
 from .ops.climb import WalkTrace, replay_walks, run_walks
+from .utils.guarded_fetch import guarded_call, guarded_get
 
 F32 = np.float32
 
@@ -542,11 +543,16 @@ def process_tpu(peng, params) -> List[Motif]:
                 # fused histogram — past ~1.5 Gbases take the threaded
                 # host scan instead of risking a silent wrap
                 defer_bg = False
-            if defer_bg and flat is not None and \
-                    int(np.count_nonzero(flat == 0)) > 20_000_000:
+            if defer_bg and flat is not None:
                 # mass-N corpora: the per-N correction scan would rival
-                # the host bg scan it replaces
-                defer_bg = False
+                # the host bg scan it replaces.  The parser tracks the
+                # N count in O(1); only parse paths that don't pay one
+                # full-corpus scan here (~0.7 s at 50 Mbases otherwise)
+                n_undef = getattr(sset, "n_undefined", None)
+                if n_undef is None:
+                    n_undef = int(np.count_nonzero(flat == 0))
+                if n_undef > 20_000_000:
+                    defer_bg = False
             bg_order = bgm.order if defer_bg else -1
             if not defer_bg:
                 bgm_start = getattr(bgm, "start_host_counting", None)
@@ -606,7 +612,8 @@ def process_tpu(peng, params) -> List[Motif]:
                 mark("bg model")
                 n_canon = _n_canonical(W) if both else 4 ** W
                 ltot, max_c, susp_np, vals, bg_words = split_fetch_blob(
-                    jax.device_get(blob_dev), lay.m_pad, n_canon, bg_order)
+                    guarded_get(blob_dev, what="count blob"),
+                    lay.m_pad, n_canon, bg_order)
                 if defer_bg:
                     _deliver_bg(bgm, bg_words, bg_corr)
                     v = _bg_v()
@@ -615,17 +622,21 @@ def process_tpu(peng, params) -> List[Motif]:
                 if defer_bg:
                     # corrections overlap the in-flight collective
                     bg_corr = _bg_corrections(sset, bgm, flat, lay)
-                    vals, max_c, ltot, susp_np, bg_words = jax.device_get(
-                        (vals_u16, max_c, ltot_dev, susp_dev, bg_dev))
+                    vals, max_c, ltot, susp_np, bg_words = guarded_get(
+                        (vals_u16, max_c, ltot_dev, susp_dev, bg_dev),
+                        what="mesh count")
                     _deliver_bg(bgm, bg_words, bg_corr)
                     v = _bg_v()
                 else:
                     v = _bg_v()  # overlaps the in-flight device count
-                    vals, max_c, ltot, susp_np = jax.device_get(
-                        (vals_u16, max_c, ltot_dev, susp_dev))
+                    vals, max_c, ltot, susp_np = guarded_get(
+                        (vals_u16, max_c, ltot_dev, susp_dev),
+                        what="mesh count")
             ltot = int(ltot)
             if int(max_c) > np.iinfo(np.uint16).max:
-                vals = np.asarray(_compact_counts_i32(counts_dev, W, both))
+                vals = guarded_get(
+                    _compact_counts_i32(counts_dev, W, both),
+                    what="overflow refetch")
             counts_host = _mirror_host(vals, W, both)
             mark("mirror host")
             from .ops.stream_count import stream_fixup_pairs  # noqa: PLC0415
@@ -745,9 +756,10 @@ def process_tpu(peng, params) -> List[Motif]:
                     params.em_min_threshold, params.em_max_iterations, W)
                 from .utils.packed_fetch import fetch_packed  # noqa: PLC0415
 
-                pwm0_np, final_pwms = fetch_packed((pwm0_dev, final_dev))
+                pwm0_np, final_pwms = guarded_call(
+                    fetch_packed, (pwm0_dev, final_dev), what="EM fetch")
             else:
-                pwm0_np = jax.device_get(pwm0_dev)
+                pwm0_np = guarded_get(pwm0_dev, what="PWM fetch")
         for i, motif in enumerate(candidates):
             motif.pwm = np.array(pwm0_np[i], dtype=F32)  # writable copy
             motif.calculate_comp_pwm()

@@ -35,6 +35,9 @@ class SequenceSet:
     sequences: List[np.ndarray] = field(default_factory=list)
     headers: List[str] = field(default_factory=list)
     base_frequencies: Optional[np.ndarray] = None
+    # undefined (N) bases in the whole set; None = not tracked by this
+    # construction path (engine then falls back to a corpus scan)
+    n_undefined: Optional[int] = None
     alphabet: Alphabet = STANDARD
     # parse warnings, recorded so a reused parse can replay them (the
     # reference re-parses the input for the background set and emits
@@ -163,6 +166,9 @@ def read_fasta(
         base_counts.astype(np.float32) / np.float32(total) if total else
         np.zeros(alphabet.size, dtype=np.float32)
     )
+    # O(1) undefined-base count for the engine's mass-N gate (same
+    # contract as the native parser's sset.n_undefined)
+    sset.n_undefined = sset.total_bases - int(total)
     return sset
 
 

@@ -807,6 +807,9 @@ def parse_fasta_native(filepath: str, alphabet=None):
         base_counts.astype(np.float32) / np.float32(tot) if tot else
         np.zeros(4, dtype=np.float32)
     )
+    # O(1) undefined-base count (total bases minus defined): saves the
+    # engine a full-corpus count_nonzero scan (~0.7 s at 50 Mbases)
+    sset.n_undefined = int(total.value) - int(tot)
     return sset
 
 

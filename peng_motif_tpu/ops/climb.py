@@ -495,9 +495,10 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
         length, both, score_type, wide=wide)
     # one packed transfer: the trace has 17 leaves and a tunneled
     # backend pays a full round trip per fetched buffer
+    from ..utils.guarded_fetch import guarded_call  # noqa: PLC0415
     from ..utils.packed_fetch import fetch_packed  # noqa: PLC0415
 
-    h = fetch_packed(out)
+    h = guarded_call(fetch_packed, out, what="climb trace")
     return WalkTrace(
         improved=np.asarray(h["improved"]),
         chosen_idx=np.asarray(h["chosen_idx"]),

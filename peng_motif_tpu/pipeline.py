@@ -158,6 +158,7 @@ class Peng:
             engine = "tpu" if default_backend_is_accelerator() else "exact"
         if engine == "tpu":
             from .engine_tpu import EngineFallback, process_tpu  # noqa: PLC0415
+            from .utils.guarded_fetch import FetchTimeout  # noqa: PLC0415
 
             # buffer stdout so a mid-run fallback can restart cleanly
             import io  # noqa: PLC0415
@@ -169,7 +170,7 @@ class Peng:
                 real_out.write(buf.getvalue())
                 LAST_ENGINE_USED = "tpu"
                 return result
-            except EngineFallback as e:
+            except (EngineFallback, FetchTimeout) as e:
                 self.log.info(f"TPU engine fallback: {e}; "
                               "running exact engine")
                 # a deferred background model (fused device counting
