@@ -26,9 +26,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 MBASES = 1.025
+# Pinned fallbacks (BASELINE.md, measured 2026-08-20) — used ONLY when
+# the live per-run reference measurement (_measure_reference) fails.
+# Round-4 verdict weak #3: the reference is re-measured on THIS host
+# immediately before the repo runs, so vs_baseline is same-day,
+# same-container hardware.
 BASELINE_W10_S = 15.6     # BASELINE.md: MafK.fasta, default -w 10
 BASELINE_W8_S = 0.59      # BASELINE.md: MafK.fasta, -w 8
-BASELINE_MBASES_PER_S = MBASES / BASELINE_W10_S
 DATA = os.path.join(REPO, "tests", "golden", "MafK.fasta")
 GOLDEN = {
     10: os.path.join(REPO, "tests", "golden", "mafk_w10.meme"),
@@ -106,9 +110,72 @@ def _tol_diff(got_path, want_path, tol, rel):
     return "tol"
 
 
+def _ref_binary():
+    """Path to a Release build of the reference C++ binary, building it
+    from /root/reference into /tmp/refbuild if absent (round-4 verdict
+    weak #3: measure the reference live, per bench run)."""
+    import subprocess
+
+    exe = "/tmp/refbuild/bin/peng_motif"
+    if os.path.exists(exe):
+        return exe
+    src = "/root/reference"
+    if not os.path.isdir(src):
+        return None
+    try:
+        os.makedirs("/tmp/refbuild", exist_ok=True)
+        subprocess.run(
+            ["cmake", "-DCMAKE_BUILD_TYPE=Release", src],
+            cwd="/tmp/refbuild", capture_output=True, timeout=300,
+            check=True)
+        subprocess.run(
+            ["make", "-j2"], cwd="/tmp/refbuild", capture_output=True,
+            timeout=600, check=True)
+    except Exception:
+        return None
+    return exe if os.path.exists(exe) else None
+
+
+def _ref_wall(exe, data, w):
+    """One timed reference run (seconds), or None."""
+    import subprocess
+
+    try:
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [exe, data, "-o", "/tmp/peng_bench_ref.meme", "-w", str(w)],
+            capture_output=True, timeout=600)
+        dt = time.perf_counter() - t0
+        return round(dt, 3) if r.returncode == 0 else None
+    except Exception:
+        return None
+
+
+def _measure_reference():
+    """Live same-host reference walls for every bench configuration."""
+    exe = _ref_binary()
+    if exe is None:
+        return {}
+    out = {}
+    for key, data, w in (
+        ("ref_mafk_w10_s", DATA, 10),
+        ("ref_mafk_w8_s", DATA, 8),
+        ("ref_large_w8_s", LARGE_PATH, 8),
+        ("ref_large_w10_s", LARGE_PATH, 10),
+    ):
+        if not os.path.exists(data):
+            continue
+        wall = _ref_wall(exe, data, w)
+        if wall is not None:
+            out[key] = wall
+    return out
+
+
 def _measure_large(w, ref_s):
-    """(tpu_wall_best, parity, exact_wall): full-pipeline walls on the
-    51.2-Mbase corpus.  Parity: TPU-engine output vs the exact engine
+    """(tpu_wall_best, parity, exact_wall, phases): full-pipeline walls
+    on the 51.2-Mbase corpus, plus the per-phase wall split of the best
+    TPU run (round-4 verdict next #1: the 51.2-Mb wall must not be a
+    black box).  Parity: TPU-engine output vs the exact engine
     (byte-identical to the reference binary on this corpus), with
     5e-4 + 1e-5*|x| float tolerance — EM'd PWM cells carry f32
     summation-order noise amplified at ~5e7-count scale; decisions and
@@ -116,12 +183,23 @@ def _measure_large(w, ref_s):
     out_t = "/tmp/peng_bench_large_tpu.meme"
     out_e = "/tmp/peng_bench_large_exact.meme"
     run_once_path(LARGE_PATH, out_t, w, "tpu")          # warm
-    best_t = _best_of(2, lambda: run_once_path(LARGE_PATH, out_t, w, "tpu"))
+    best_t, phases = float("inf"), {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stderr = run_once_path(LARGE_PATH, out_t, w, "tpu", timing=True)
+        dt = time.perf_counter() - t0
+        if dt < best_t:
+            best_t = dt
+            phases = {
+                m.group(1): round(float(m.group(2)) / 1e3, 4)
+                for m in re.finditer(
+                    r"\[TIMING\] (\S+): ([0-9.]+) ms", stderr)
+            }
     t0 = time.perf_counter()
     run_once_path(LARGE_PATH, out_e, w, "exact")
     exact_s = time.perf_counter() - t0
     parity = _tol_diff(out_t, out_e, 5e-4, 1e-5)
-    return best_t, parity, exact_s
+    return best_t, parity, exact_s, phases
 
 
 DEGRADED_RUNS = 0  # watchdog fallbacks during --engine tpu measurements
@@ -288,6 +366,102 @@ def _stream_count_device_roofline(W):
     return round(mbases / best, 1), round(bytes_touched / best / 1e9, 2)
 
 
+def _mesh_scaling_cpu():
+    """Count-phase Mbases/s at --devices 1/2/4/8 on the virtual CPU
+    mesh (BASELINE.json scaling axis).  Honesty note: this host has 2
+    physical cores, so the 8 virtual devices time-share — the curve
+    measures collective/sharding overhead and correctness of the
+    scaling path, not real chip scaling (that needs a real pod).
+    Runs in a subprocess so the CPU platform pin can't poison this
+    process's TPU backend."""
+    import subprocess
+
+    script = r"""
+import json, sys, time
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import Mesh
+from peng_motif_tpu.parallel.sharded import stream_count_sharded
+
+rng = np.random.default_rng(3)
+seqs = [rng.integers(1, 5, size=2048).astype(np.uint8) for _ in range(1600)]
+mb = sum(len(s) for s in seqs) / 1e6
+out = {}
+for nd in (1, 2, 4, 8):
+    mesh = Mesh(np.array(jax.devices("cpu")[:nd]), ("data",))
+    r = stream_count_sharded(seqs, 8, True, mesh)   # warm/compile
+    jax.device_get(r[1])
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = stream_count_sharded(seqs, 8, True, mesh)
+        jax.device_get((r[1], r[2], r[3], r[4]))
+        best = min(best, time.perf_counter() - t0)
+    out[str(nd)] = round(mb / best, 2)
+print("RESULT " + json.dumps(out))
+""" % (REPO,)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, timeout=900,
+        text=True, env=env, cwd=REPO)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    return None
+
+
+def _mesh1_tpu_count_mbases_s():
+    """Real-chip mesh-of-1 count throughput on the 51.2-Mbase corpus
+    (closes the BASELINE.json 1-chip scaling loop with the sharded code
+    path, not just the single-device fast path)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from peng_motif_tpu.io.fasta import load_sequence_set
+    from peng_motif_tpu.parallel.sharded import stream_count_sharded
+
+    sset = load_sequence_set(LARGE_PATH)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    flat = getattr(sset, "_flat_codes", None)
+    r = stream_count_sharded(sset.sequences, 8, True, mesh,
+                             flat_codes=flat)  # warm
+    jax.device_get(r[1])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = stream_count_sharded(sset.sequences, 8, True, mesh,
+                                 flat_codes=flat)
+        jax.device_get((r[1], r[2], r[3], r[4]))
+        best = min(best, time.perf_counter() - t0)
+    return round(LARGE_MBASES / best, 1)
+
+
+def _patterns_scored_per_s():
+    """Climb-phase scoring throughput (BASELINE.json asks for
+    patterns-scored/s by name): candidate patterns scored by the lockstep
+    walks program per second of the whole optimize phase (dispatch +
+    device walk + trace fetch + host replay), measured on the MafK w10
+    headline config."""
+    from peng_motif_tpu.ops import climb
+
+    stderr = run_once("/tmp/peng_bench_pps.meme", 10, "tpu", timing=True)
+    phases = {
+        m.group(1): float(m.group(2)) / 1e3
+        for m in re.finditer(r"\[TIMING\] (\S+): ([0-9.]+) ms", stderr)
+    }
+    stats = dict(climb.LAST_WALK_STATS)
+    opt = phases.get("optimize")
+    if not opt or not stats.get("candidates_scored"):
+        return None, stats
+    return round(stats["candidates_scored"] / opt, 1), stats
+
+
 def _warm_start_wall_s():
     """Cold-process wall with a hot persistent compile cache: a fresh
     subprocess runs the headline config after this process populated
@@ -305,6 +479,16 @@ def _warm_start_wall_s():
 
 def main():
     out = "/tmp/peng_bench_out.meme"
+
+    # live reference baselines, measured on this host before any TPU
+    # work (round-4 verdict weak #3: stale pinned walls inflate
+    # vs_baseline) — pure-CPU subprocesses, no backend interference
+    _gen_large()
+    ref = _measure_reference()
+    baseline_w10 = ref.get("ref_mafk_w10_s", BASELINE_W10_S)
+    baseline_w8 = ref.get("ref_mafk_w8_s", BASELINE_W8_S)
+    large_ref = {8: ref.get("ref_large_w8_s", LARGE_REF_W8_S),
+                 10: ref.get("ref_large_w10_s", LARGE_REF_W10_S)}
 
     backend = "default"
     if not _backend_alive():
@@ -344,9 +528,9 @@ def main():
     large = {}
     if default_engine == "tpu":
         try:
-            _gen_large()
-            for w, ref_s in ((8, LARGE_REF_W8_S), (10, LARGE_REF_W10_S)):
-                best_t, parity, exact_s = _measure_large(w, ref_s)
+            for w in (8, 10):
+                ref_s = large_ref[w]
+                best_t, parity, exact_s, lphases = _measure_large(w, ref_s)
                 large[f"large_w{w}_tpu_wall_s"] = round(best_t, 3)
                 large[f"large_w{w}_tpu_mbases_s"] = round(
                     LARGE_MBASES / best_t, 2)
@@ -354,17 +538,34 @@ def main():
                 large[f"large_w{w}_parity"] = parity
                 large[f"large_w{w}_exact_wall_s"] = round(exact_s, 3)
                 large[f"large_w{w}_ref_wall_s"] = ref_s
+                large[f"large_w{w}_phase_wall_s"] = lphases
             large["large_mbases"] = LARGE_MBASES
         except Exception as e:  # noqa: BLE001 - bench must still report
             large["large_error"] = f"{type(e).__name__}: {e}"
         try:
-            for w in (8, 10):
+            for w in (8, 10, 12):
                 mbs, gbs = _stream_count_device_roofline(w)
                 large[f"stream_count_device_mbases_s_w{w}"] = mbs
                 large[f"stream_count_io_gb_s_lower_bound_w{w}"] = gbs
             large["hbm_nominal_gb_s"] = 819  # v5e-class chip
         except Exception as e:  # noqa: BLE001
             large["roofline_error"] = f"{type(e).__name__}: {e}"
+        try:
+            large["mesh1_tpu_count_mbases_s"] = _mesh1_tpu_count_mbases_s()
+        except Exception as e:  # noqa: BLE001
+            large["mesh1_error"] = f"{type(e).__name__}: {e}"
+    try:
+        pps, walk_stats = _patterns_scored_per_s()
+        large["patterns_scored_per_s"] = pps
+        large["walk_stats"] = walk_stats
+    except Exception as e:  # noqa: BLE001
+        large["patterns_scored_error"] = f"{type(e).__name__}: {e}"
+    try:
+        large["mesh_cpu_count_mbases_s"] = _mesh_scaling_cpu()
+        large["mesh_cpu_note"] = "8 virtual devices on 2 physical cores"
+    except Exception as e:  # noqa: BLE001
+        large["mesh_scaling_error"] = f"{type(e).__name__}: {e}"
+    large["ref_measured"] = ref
 
     # cold-process wall with the persistent compile cache this process
     # just populated: proves the cache actually serves a fresh process
@@ -382,7 +583,7 @@ def main():
                 "metric": "mafk_default_w10_throughput",
                 "value": round(value, 3),
                 "unit": "Mbases/s",
-                "vs_baseline": round(value / BASELINE_MBASES_PER_S, 2),
+                "vs_baseline": round(baseline_w10 / best_w10, 2),
                 "extra": {
                     "headline_engine": default_engine,
                     "backend": backend,
@@ -394,7 +595,9 @@ def main():
                     "w10_exact_parity": res[(10, "exact")][1],
                     "w8_wall_s": round(best_w8, 3),
                     "w8_parity": parity_w8,
-                    "w8_vs_baseline": round(BASELINE_W8_S / best_w8, 2),
+                    "w8_vs_baseline": round(baseline_w8 / best_w8, 2),
+                    "baseline_w10_ref_wall_s": baseline_w10,
+                    "baseline_w8_ref_wall_s": baseline_w8,
                     "w8_tpu_wall_s": round(res[(8, "tpu")][0], 3),
                     "w8_tpu_parity": res[(8, "tpu")][1],
                     "w8_exact_wall_s": round(res[(8, "exact")][0], 3),

@@ -459,16 +459,42 @@ def walks_program(
      acc_exp_buf, acc_sc_buf, acc_n_buf, overflow) = st
     overflow = overflow | jnp.any(active)  # ran out of steps mid-walk
 
+    # Fetch-side narrowing: in wide mode the aggregation ran in f64 so
+    # every count sum is an exact integer, and every DECISION (mutant
+    # argmin, acceptance) is already made above in f64 — but the host
+    # only ever consumes these leaves through int()/F32() casts
+    # (engine_tpu._motif_from_aggregates, the climb stdout rows), so
+    # the trace ships as 4-byte dtypes: counts as uint32 (exact: the
+    # engine guards ltot < 2**31), floats as f32.  This keeps the trace
+    # single-round-trip on tunneled backends, whose X64 rewriting
+    # cannot lower the 8-byte packed-fetch bitcast (a wide trace paid
+    # ~8 extra fetch round trips, ~0.4 s, before this).
+    def _cnt32(x):
+        return jnp.rint(x).astype(jnp.uint32) if wide else x
+
+    def _f32(x):
+        return x.astype(F32)
+
     return dict(
         improved=improved_buf, chosen_idx=chosen_idx_buf,
-        chosen_counts=chosen_cnt_buf, chosen_expected=chosen_exp_buf,
-        chosen_bgp=chosen_bgp_buf, chosen_score=chosen_sc_buf,
-        acc_idx=acc_idx_buf, acc_counts=acc_cnt_buf,
-        acc_expected=acc_exp_buf, acc_score=acc_sc_buf, acc_n=acc_n_buf,
-        init_counts=init_agg[:, 0], init_expected=init_agg[:, 1],
-        init_bgp=init_agg[:, 2], init_score=init_score,
+        chosen_counts=_cnt32(chosen_cnt_buf),
+        chosen_expected=_f32(chosen_exp_buf),
+        chosen_bgp=_f32(chosen_bgp_buf), chosen_score=chosen_sc_buf,
+        acc_idx=acc_idx_buf, acc_counts=_cnt32(acc_cnt_buf),
+        acc_expected=_f32(acc_exp_buf), acc_score=acc_sc_buf,
+        acc_n=acc_n_buf,
+        init_counts=_cnt32(init_agg[:, 0]),
+        init_expected=_f32(init_agg[:, 1]),
+        init_bgp=_f32(init_agg[:, 2]), init_score=init_score,
         n_steps=t_end, overflow=overflow,
     )
+
+
+# stats of the last dispatched walk program (bench reads this to report
+# patterns-scored/s): seeds = live walks, slots = padded lockstep width,
+# steps = device steps taken, candidates_scored = semantic scoring work
+# (live walks x W*MAXSIM mutants per step)
+LAST_WALK_STATS: dict = {}
 
 
 def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
@@ -499,6 +525,9 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
     from ..utils.packed_fetch import fetch_packed  # noqa: PLC0415
 
     h = guarded_call(fetch_packed, out, what="climb trace")
+    LAST_WALK_STATS.update(
+        seeds=n, slots=S, steps=int(h["n_steps"]),
+        candidates_scored=int(h["n_steps"]) * n * length * MAXSIM)
     return WalkTrace(
         improved=np.asarray(h["improved"]),
         chosen_idx=np.asarray(h["chosen_idx"]),

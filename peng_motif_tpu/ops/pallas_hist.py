@@ -264,7 +264,18 @@ def histogram(flat_ids, flat_inc, n_bins: int):
     wider matmul N), the 128-lane split for small ones — and the XLA
     scatter-add otherwise (CPU, giant tables).
     PENG_HIST_VARIANT=blocked selects the hi-blocked kernel (A/B
-    switch; also exercises the any-size accumulator path)."""
+    switch; also exercises the any-size accumulator path).
+
+    Why the scatter is the w12 default (round-4 verdict next #3,
+    measured v5e, 50M updates, jitted, 2026-08-21): the one-hot matmul
+    histogram costs n_bins x n_updates MACs, so it scales with the
+    TABLE while the serialized scatter scales only with the updates.
+    At 4**10 they cross: sq kernel 0.32 s (~an MXU-peak-bound 164
+    effective int8 TOPS) vs scatter 0.36 s vs hi-blocked 0.42 s.  At
+    4**12 the MAC bill is 16x: hi-blocked 5.1 s vs scatter 0.60 s —
+    the scatter wins 8.5x and no one-hot variant can close a
+    MAC-bound gap.  Larger window blocks don't help (sq 4096 vs 2048:
+    0.318 vs 0.329 s)."""
     if use_mxu_histogram() and n_bins % _LANES == 0:
         if _variant() == "blocked":
             return mxu_histogram_blocked(flat_ids, flat_inc, n_bins)

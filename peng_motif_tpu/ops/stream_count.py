@@ -449,74 +449,6 @@ def stream_count_device_fused(buf, row: int, ctx: int, length: int,
 
 
 # ---------------------------------------------------------------------------
-# slab-pipelined counting: pack/upload/compute overlap
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("row", "ctx", "length", "both_strands", "bg_order"),
-    donate_argnums=(0, 1, 2, 3))
-def _slab_accum(counts, ltot, susp_words, bg, buf_flat, slab_idx,
-                row: int, ctx: int, length: int, both_strands: bool,
-                bg_order: int):
-    """Accumulate one _SLAB-chunk slab into the donated running state.
-    The slab shape is fixed, so one compiled program serves any corpus
-    size — and the host packs/uploads slab k+1 while the device scans
-    slab k (all dispatches are asynchronous)."""
-    codes = _unpack_codes(buf_flat.reshape(-1, row_nbytes(row)), row)
-    c, lt, sp, b = stream_local_counts(codes, ctx, length, both_strands,
-                                       bg_order)
-    words = _susp_to_words(sp)
-    susp_words = jax.lax.dynamic_update_slice_in_dim(
-        susp_words, words, slab_idx * (_SLAB // 32), 0)
-    return (counts + c, ltot + lt, susp_words,
-            (bg + b) if bg_order >= 0 else bg)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("length", "both_strands", "bg_order"))
-def _finalize_pipelined(counts, ltot, susp_words, bg,
-                        length: int, both_strands: bool, bg_order: int):
-    counts, vals, max_c = stream_compact(counts, length, both_strands)
-    return counts, _pack_fetch_blob_words(
-        vals, max_c, ltot, susp_words,
-        bg if bg_order >= 0 else None)
-
-
-def stream_count_pipelined(stream: np.ndarray, lay: StreamLayout,
-                           length: int, both_strands: bool,
-                           bg_order: int = -1):
-    """Slab-pipelined :func:`stream_count_device_fused`: native
-    pack-range of each 16384-chunk slab overlaps the previous slab's
-    upload + device scan.  Requires the native library and
-    ``lay.m_pad % _SLAB == 0`` (the >_SLAB_MIN bucket ladder guarantees
-    it); falls back to None when unavailable so the caller takes the
-    single-shot path."""
-    from ..native import chunk_pack_range_native  # noqa: PLC0415
-
-    if lay.m_pad % _SLAB != 0:
-        return None
-    n_slabs = lay.m_pad // _SLAB
-    counts = jnp.zeros(4 ** length, dtype=jnp.int32)
-    ltot = jnp.int64(0)
-    susp_words = jnp.zeros(lay.m_pad // 32, dtype=jnp.uint32)
-    bg = (jnp.zeros(bg_nbins(bg_order), dtype=jnp.int32)
-          if bg_order >= 0 else jnp.zeros((), dtype=jnp.int32))
-    for k in range(n_slabs):
-        packed = chunk_pack_range_native(
-            stream, k * _SLAB, _SLAB, lay.row, lay.core, lay.ctx)
-        if packed is None:
-            return None
-        buf = jnp.asarray(packed)
-        counts, ltot, susp_words, bg = _slab_accum(
-            counts, ltot, susp_words, bg, buf, jnp.int32(k),
-            lay.row, lay.ctx, length, both_strands, bg_order)
-    return _finalize_pipelined(
-        counts, ltot, susp_words, bg, length, both_strands, bg_order)
-
-
-# ---------------------------------------------------------------------------
 # host twin + fix-up
 # ---------------------------------------------------------------------------
 

@@ -279,33 +279,3 @@ def test_slab_accumulation_matches_single_pass(both, monkeypatch):
     sc.stream_count_device_fused._clear_cache()  # drop patched trace
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
-
-
-def test_pipelined_matches_single_shot(monkeypatch):
-    """Slab-pipelined counting (pack/upload overlap path) must produce
-    the identical resident table and fetch blob as the single-shot
-    program — including the fused background histogram and the
-    bitpacked suspicion words."""
-    import jax
-    import jax.numpy as jnp
-
-    from peng_motif_tpu.ops import stream_count as sc
-
-    monkeypatch.setattr(sc, "_SLAB", 256)
-    rng = np.random.default_rng(11)
-    seqs = [rng.integers(0, 5, size=int(n)).astype(np.uint8)
-            for n in rng.integers(30, 400, size=800)]
-    # tandem repeats: suspicion bits must survive the word packing
-    seqs.append(np.tile(np.array([1, 2, 3, 4, 1, 2], np.uint8), 80))
-    W = 8
-    stream, lay = sc.build_stream(seqs, W)
-    assert lay.m_pad % 256 == 0 and lay.m_pad // 256 >= 2
-    out = sc.stream_count_pipelined(stream, lay, W, True, bg_order=2)
-    assert out is not None
-    counts_p, blob_p = out
-    buf = jnp.asarray(sc.chunked_packed(stream, lay))
-    counts_s, blob_s = sc.stream_count_device_fused(
-        buf, lay.row, lay.ctx, W, True, 2)
-    np.testing.assert_array_equal(np.asarray(counts_p),
-                                  np.asarray(counts_s))
-    np.testing.assert_array_equal(np.asarray(blob_p), np.asarray(blob_s))
