@@ -37,6 +37,11 @@ CASES = [
     ("mafk100_w8_thresh",
      ["MafK_100seqs.fasta", "-w", "8", "-t", "5",
       "--count-threshold", "1", "--pseudo-counts", "5"], False),
+    # merge-heavy / motif-rich: 25-motif EM batch, 14 merge rounds
+    # incl. a 13-mer triple merge (round-4 verdict next #7)
+    ("mafk_w8_rich",
+     ["MafK.fasta", "-w", "8", "-t", "5",
+      "--minimum-processed-patterns", "25"], True),
     ("mafk100_w8_minmax",
      ["MafK_100seqs.fasta", "-w", "8",
       "--minimum-processed-patterns", "10",

@@ -72,6 +72,11 @@ ENGINE_CASES = [
     ("mafk100_w8_defpwm",
      ["MafK_100seqs.fasta", "-w", "8", "--use-default-pwm"]),
     ("mafk_w8", ["MafK.fasta", "-w", "8"]),
+    # merge-heavy / motif-rich on the device engine: a 25-motif EM
+    # batch and many merge rounds (round-4 verdict next #7) — decisions
+    # must match the reference exactly, floats within the contract
+    ("mafk_w8_rich", ["MafK.fasta", "-w", "8", "-t", "5",
+                      "--minimum-processed-patterns", "25"]),
     ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
     ("synth_w8_plus", ["synthetic_n.fasta", "-w", "8",
                        "--strand", "PLUS"]),
@@ -82,10 +87,14 @@ ENGINE_CASES = [
                          ids=[c[0] for c in ENGINE_CASES])
 def test_tpu_engine_parity(stem, args, tmp_path):
     """--engine tpu (device-resident pipeline) vs the reference golden:
-    identical structure and decisions, floats within 5e-6."""
+    identical structure and decisions, floats within 5e-6 (2e-5 for the
+    merge-heavy case: a 25-motif EM batch amplifies device reduction-
+    order noise further, and merged-PWM cells are float functions of
+    several EM'd PWMs — decisions still must match exactly)."""
     argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
             + ["--engine", "tpu"])
-    _run_and_diff_tol(argv, stem, tmp_path)
+    tol = 2e-5 if stem == "mafk_w8_rich" else 5e-6
+    _run_and_diff_tol(argv, stem, tmp_path, tol=tol)
 
 
 @pytest.mark.slow

@@ -54,6 +54,10 @@ HW_CASES = [
     ("mafk100_w12", ["MafK_100seqs.fasta", "-w", "12"]),
     ("mafk_w8", ["MafK.fasta", "-w", "8"]),
     ("mafk_w10", ["MafK.fasta", "-w", "10"]),   # the headline config
+    # merge-heavy / motif-rich: 25-motif EM batch, 14 merge rounds
+    # (round-4 verdict next #7)
+    ("mafk_w8_rich", ["MafK.fasta", "-w", "8", "-t", "5",
+                      "--minimum-processed-patterns", "25"]),
     ("synth_w8", ["synthetic_n.fasta", "-w", "8"]),
 ]
 
@@ -62,7 +66,8 @@ HW_CASES = [
 def test_tpu_engine_parity_on_hardware(stem, args, tmp_path, accelerator):
     argv = ([os.path.join(GOLDEN_DIR, args[0])] + args[1:]
             + ["--engine", "tpu"])
-    _run_and_diff_tol(argv, stem, tmp_path)
+    tol = 2e-5 if stem == "mafk_w8_rich" else 5e-6
+    _run_and_diff_tol(argv, stem, tmp_path, tol=tol)
 
 
 def test_devices_mesh_of_one_on_hardware(tmp_path, accelerator):
