@@ -506,6 +506,22 @@ def main():
     run_once(out, 10)
     warm = time.perf_counter() - t0
 
+    # the cold path may have climbed on host while the device walks
+    # program compiled in the background (engine_tpu cold-start
+    # contract); spin until the compile lands so every timed "tpu"
+    # number below measures the device climb, and report the outcome
+    climb_engine = None
+    if default_engine == "tpu":
+        import peng_motif_tpu.engine_tpu as _et
+
+        t_wait = time.perf_counter()
+        while time.perf_counter() - t_wait < 180:
+            run_once(out, 10, "tpu")
+            climb_engine = _et.LAST_CLIMB_ENGINE
+            if climb_engine != "host":
+                break
+            time.sleep(5)
+
     res = {}
     for w in (10, 8):
         for engine in ("tpu", "exact"):
@@ -610,6 +626,10 @@ def main():
                     # ran the host engine via watchdog fallback (wedged
                     # tunnel) — treat those walls as host numbers
                     "tpu_runs_degraded_to_exact": DEGRADED_RUNS,
+                    # "device" once the walks program compiled; "host"
+                    # would mean timed climbs ran the cold-path host
+                    # climb (engine_tpu.LAST_CLIMB_ENGINE)
+                    "climb_engine": climb_engine,
                     **large,
                 },
             }

@@ -394,6 +394,70 @@ def _select_seeds_host(z: np.ndarray, counts: np.ndarray, W: int,
 _warmed_keys: set = set()
 _cold_warmed: set = set()
 
+# which implementation ran the last climb ("device" | "host"): the
+# bench reads this so a cold-path host climb can never masquerade as a
+# device-phase measurement
+LAST_CLIMB_ENGINE = None
+
+
+def _m_pad_floor() -> int:
+    """Motif-slot floor: 64 on accelerators (one phase-3/4 program for
+    all default runs), 4 on CPU (padded EM costs real host time)."""
+    try:
+        return 4 if jax.default_backend() == "cpu" else 64
+    except Exception:  # pragma: no cover
+        return 4
+
+
+def _host_climb_allowed() -> bool:
+    """PENG_COLD_HOST_CLIMB=0 pins the device climb (hardware-parity
+    tests exercise the device path deterministically)."""
+    import os
+
+    return os.environ.get("PENG_COLD_HOST_CLIMB", "1") != "0"
+
+
+def _spawn_missed_walk_warmup(wkey: tuple, params):
+    """The real seed bucket missed the {8, 64} cold-warm prediction:
+    compile it in the background so the NEXT run takes the device."""
+    import threading
+
+    W, both, score_type, wide, S = wkey
+
+    def _warm():
+        try:
+            from .ops.climb import (  # noqa: PLC0415
+                mark_walk_compiled, walks_program)
+
+            walks_program(
+                jnp.zeros(4 ** W, jnp.int32),
+                jnp.full(4 ** W, 1.0, jnp.float32),
+                jnp.full(4 ** W, 1.0, jnp.float32),
+                jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.bool_),
+                jnp.float32(1.0), jnp.float32(0.0),
+                W, both, score_type, wide=wide)
+            mark_walk_compiled(wkey)
+        except Exception:  # speculative only
+            pass
+
+    threading.Thread(target=_warm, daemon=True).start()
+
+
+def _host_climb(peng, params, selected, counts_host, ltot, W: int,
+                order_k: int, order_max: int):
+    """Byte-exact host climb over the fetched count table (the exact
+    engine's phase 2, native batched scoring): used on a cold process
+    while the device walks program compiles in the background.  Prints
+    the identical climb rows / motif table as the device replay."""
+    from .pattern_tables import PatternTables  # noqa: PLC0415
+
+    tables = PatternTables(
+        W, peng.strand, order_k, order_max, None, peng.bg_model,
+        peng.n_sequences, precomputed=(counts_host, int(ltot)))
+    return peng._optimize_iupac_patterns(
+        params.opt_score_type, tables, selected,
+        params.enrich_pseudocount_factor)
+
 
 def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
                        wide: bool, params):
@@ -437,14 +501,16 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
             v0 = tuple(jnp.full(4 ** (j + 1), 0.25, jnp.float32)
                        for j in range(order_max + 1))
             stats_program(counts0, v0, jnp.int32(4),
-                          jnp.zeros(64, jnp.int32), jnp.zeros(64, jnp.int32),
+                          jnp.zeros(1024, jnp.int32),
+                          jnp.zeros(1024, jnp.int32),
                           W, order_k, order_max, both)
         except Exception:  # speculative only — never surface
             pass
 
     def _warm_walks(S: int):
         try:
-            from .ops.climb import walks_program  # noqa: PLC0415
+            from .ops.climb import (  # noqa: PLC0415
+                mark_walk_compiled, walks_program)
 
             counts0, exp0 = _dummy_tables()
             walks_program(
@@ -452,13 +518,14 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
                 jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.bool_),
                 jnp.float32(1.0), jnp.float32(0.0),
                 W, both, params.opt_score_type.value, wide=wide)
+            mark_walk_compiled(
+                (W, both, params.opt_score_type.value, wide, S))
         except Exception:
             pass
 
-    def _warm_pwm_em():
+    def _warm_pwm_em(m_pad: int = 64):
         try:
             counts0, _ = _dummy_tables()
-            m_pad = 4
             if params.adv_pwm:
                 pwm0 = adv_pwm_program(
                     jnp.zeros((m_pad, W), jnp.int32), counts0,
@@ -479,8 +546,10 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
 
     seed_buckets = {8, 64} if params.max_optimized_patterns >= 50 else {
         max(8, 1 << (params.max_optimized_patterns - 1).bit_length())}
-    jobs = [_warm_stats, _warm_pwm_em] + [
-        (lambda S=S: _warm_walks(S)) for S in sorted(seed_buckets)]
+    # walks first: its tracing alone takes seconds under the GIL and
+    # its ~1-minute compile IS the cold-start critical path
+    jobs = [(lambda S=S: _warm_walks(S)) for S in sorted(seed_buckets)] + [
+        _warm_stats, lambda: _warm_pwm_em(64)]
     for job in jobs:
         threading.Thread(target=job, daemon=True).start()
 
@@ -496,7 +565,8 @@ def _spawn_phase34_warmup(counts_dev, n_selected: int, W: int, both: bool,
     background and the real shapes compile as before."""
     import threading
 
-    m_pad = max(4, 1 << (max(n_selected, 1) - 1).bit_length())
+    m_pad = max(_m_pad_floor(),
+                1 << (max(n_selected, 1) - 1).bit_length())
     key = (W, both, wide, m_pad, params.adv_pwm, params.use_em)
     if key in _warmed_keys:
         return
@@ -621,8 +691,8 @@ def process_tpu(peng, params) -> List[Motif]:
             counts_host = np.asarray(counts_host, dtype=np.int32)
             ltot = int(ltot)
             counts_dev = jnp.asarray(counts_host)
-            fix_ids = np.zeros(64, dtype=np.int32)
-            fix_dv = np.zeros(64, dtype=np.int32)
+            fix_ids = np.zeros(1024, dtype=np.int32)
+            fix_dv = np.zeros(1024, dtype=np.int32)
             v = _bg_v()
         else:
             # fused device background counting: when the CLI deferred
@@ -694,10 +764,28 @@ def process_tpu(peng, params) -> List[Motif]:
                 # with on-device row extraction was also measured 3-4x
                 # slower: the XLA overlapping-window materialization
                 # costs more than the host's threaded 2-bit pack saves.)
-                buf = jnp.asarray(chunked_packed(stream, lay))
-                mark("pack+h2d")
-                counts_dev, blob_dev = stream_count_device_fused(
-                    buf, lay.row, lay.ctx, W, both, bg_order)
+                from .ops.stream_count import (  # noqa: PLC0415
+                    chunked_packed2, stream_count_device_fused2,
+                    wire2_eligible)
+
+                n_undef = getattr(sset, "n_undefined", None)
+                if n_undef is None and flat is not None:
+                    n_undef = int(np.count_nonzero(flat == 0))
+                if n_undef is not None and wire2_eligible(lay, n_undef):
+                    # 2-bit wire: -33% upload bytes (the link is the
+                    # large-corpus bottleneck); validity reconstructed
+                    # on device from (seq_len, stream_len)
+                    buf = jnp.asarray(chunked_packed2(stream, lay))
+                    mark("pack+h2d")
+                    meta = jnp.asarray(
+                        [int(lay.lengths[0]), lay.stream_len], jnp.int32)
+                    counts_dev, blob_dev = stream_count_device_fused2(
+                        buf, meta, lay.row, lay.ctx, W, both, bg_order)
+                else:
+                    buf = jnp.asarray(chunked_packed(stream, lay))
+                    mark("pack+h2d")
+                    counts_dev, blob_dev = stream_count_device_fused(
+                        buf, lay.row, lay.ctx, W, both, bg_order)
                 mark("count dispatch")
                 if defer_bg:
                     bg_corr = _bg_corrections(sset, bgm, flat, lay)
@@ -794,18 +882,44 @@ def process_tpu(peng, params) -> List[Motif]:
 
     # -- phase 2: the climb — one device dispatch runs all walks in
     # lockstep; the host replays the sequential seen-set bookkeeping
-    # (reference: src/peng.cpp:437-541; see ops/climb.py) ---------------
-    with peng.timer.phase("optimize"):
-        trace: WalkTrace = run_walks(
-            st["counts"], st["expected"], st["bgp"],
-            selected, W, both, params.opt_score_type.value,
-            peng.n_sequences,
-            int(peng.n_sequences * params.enrich_pseudocount_factor),
-            max_seeds=max(len(selected), 1), wide=wide)
-        if trace.overflow:
-            raise EngineFallback("climb step/trace capacity exceeded")
+    # (reference: src/peng.cpp:437-541; see ops/climb.py).
+    # Cold start: the walks program is a ~40 s TPU compile; while its
+    # background compile (spawned by _spawn_cold_warmup, or below for a
+    # mispredicted seed bucket) is still in flight, this run climbs on
+    # the HOST instead — the byte-exact native climb of the exact
+    # engine costs ~0.2 s and prints the identical rows — so a fresh
+    # process never stalls on the compile.  Subsequent runs (and any
+    # run after the compile lands) take the device path. ----------------
+    from .ops import climb as climb_mod  # noqa: PLC0415
 
-    candidates = _replay_climb(peng, params, trace, selected, W)
+    wkey = climb_mod.walk_key(W, both, params.opt_score_type.value, wide,
+                              max(len(selected), 1))
+    use_host_climb = (
+        _cold_warmed                       # warmup armed (remote backend)
+        and params.mesh is None
+        and not climb_mod.walk_compiled(wkey)
+        and _host_climb_allowed())
+    global LAST_CLIMB_ENGINE
+    with peng.timer.phase("optimize"):
+        if use_host_climb:
+            LAST_CLIMB_ENGINE = "host"
+            _spawn_missed_walk_warmup(wkey, params)
+            candidates = _host_climb(
+                peng, params, selected, counts_host, ltot, W,
+                current_k, current_max_k)
+        else:
+            LAST_CLIMB_ENGINE = "device"
+            trace: WalkTrace = run_walks(
+                st["counts"], st["expected"], st["bgp"],
+                selected, W, both, params.opt_score_type.value,
+                peng.n_sequences,
+                int(peng.n_sequences * params.enrich_pseudocount_factor),
+                max_seeds=max(len(selected), 1), wide=wide)
+            if trace.overflow:
+                raise EngineFallback("climb step/trace capacity exceeded")
+
+    if not use_host_climb:
+        candidates = _replay_climb(peng, params, trace, selected, W)
 
     print(file=out)
     peng._status("Filtering degenerated IUPAC patterns")
@@ -822,9 +936,17 @@ def process_tpu(peng, params) -> List[Motif]:
         pwm0_np = final_pwms = None
         if candidates:
             n_cand = len(candidates)
-            # power-of-two motif-slot bucket: M is a shape; unbucketed
-            # it forces one adv-PWM/EM recompile per distinct corpus
-            m_pad = max(4, 1 << (n_cand - 1).bit_length())
+            # motif-slot shape, floored at 64 on accelerators: one
+            # adv-PWM/EM program serves every default run
+            # (max_optimized_patterns = 50 caps candidates below 64),
+            # so a cold process never recompiles phase 3/4 for a
+            # mispredicted bucket; the padded slots cost microseconds
+            # of device math.  Above 64 (user-raised cap) the
+            # power-of-two ladder returns.  On the CPU backend (tests,
+            # fallback) compiles are cheap and the padded EM is NOT —
+            # 2 host cores pay ~seconds per run — so the old fine
+            # bucket ladder stays.
+            m_pad = max(_m_pad_floor(), 1 << (n_cand - 1).bit_length())
             if params.adv_pwm:
                 from .alphabets import iupac_id_to_digits  # noqa: PLC0415
 

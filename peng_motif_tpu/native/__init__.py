@@ -914,3 +914,22 @@ def chunk_pack_stream_native(stream: np.ndarray, m_pad: int, row: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def chunk_pack_stream2_native(stream: np.ndarray, m_pad: int, row: int,
+                              core: int, ctx: int) -> Optional[np.ndarray]:
+    """2-bit-only wire variant (no N-mask bytes; see
+    ops/stream_count.py wire2 path); None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    out = np.empty(m_pad * ((row + 3) // 4), dtype=np.uint8)
+    lib.chunk_pack2_native(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(stream.shape[0]),
+        ctypes.c_int64(m_pad), ctypes.c_int64(row), ctypes.c_int64(core),
+        ctypes.c_int64(ctx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

@@ -496,6 +496,26 @@ def walks_program(
 # (live walks x W*MAXSIM mutants per step)
 LAST_WALK_STATS: dict = {}
 
+# walk-program compile registry: the engine's cold-start path checks
+# this to decide between the device walks and the byte-exact host climb
+# (compiles of this program take ~40 s on TPU; a cold process must not
+# stall on it when the host climb costs ~0.2 s)
+_compiled_walk_keys: set = set()
+
+
+def walk_key(length: int, both: bool, score_type: int, wide: bool,
+             max_seeds: int) -> tuple:
+    S = max(8, 1 << (max(max_seeds, 1) - 1).bit_length())
+    return (length, both, score_type, wide, S)
+
+
+def mark_walk_compiled(key: tuple) -> None:
+    _compiled_walk_keys.add(key)
+
+
+def walk_compiled(key: tuple) -> bool:
+    return key in _compiled_walk_keys
+
 
 def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
               length: int, both: bool, score_type: int, n_sequences: int,
@@ -519,6 +539,7 @@ def run_walks(counts_flat, expected_flat, bgp_flat, seed_ids,
         jnp.asarray(ids), jnp.asarray(valid),
         jnp.float32(n_sequences), jnp.float32(pseudo_expected),
         length, both, score_type, wide=wide)
+    mark_walk_compiled(walk_key(length, both, score_type, wide, max_seeds))
     # one packed transfer: the trace has 17 leaves and a tunneled
     # backend pays a full round trip per fetched buffer
     from ..utils.guarded_fetch import guarded_call  # noqa: PLC0415

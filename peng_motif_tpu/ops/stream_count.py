@@ -311,6 +311,84 @@ def row_nbytes(row: int) -> int:
     return (row + 3) // 4 + (row + 7) // 8
 
 
+# ---------------------------------------------------------------------------
+# wire2: 2-bit-only transfer format
+#
+# The host->device link is the large-corpus bottleneck (~15-20 MB/s
+# effective through the tunnel relay, measured 2026-08-21 — NOT the
+# ~260 MB/s an enqueue-timed put suggests; block_until_ready does not
+# actually block on that backend).  For the common case — no undefined
+# bases, uniform sequence lengths (ChIP-seq peak sets, the bench
+# corpora) — the 1-bit N-mask third of the wire bytes is redundant:
+# every invalid position (inter-sequence gap zeros, chunk-0 left
+# padding, stream tail, bucket padding chunks) is arithmetically
+# derivable from (seq_len, stream_len), because seq k starts at
+# k * (seq_len + W).  The device reconstructs codes==0 exactly, so all
+# downstream decision logic (validity, post-N skip, dedup, fused bg
+# lookback) is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def row_nbytes2(row: int) -> int:
+    """Packed bytes per chunk row on the 2-bit wire."""
+    return (row + 3) // 4
+
+
+def wire2_eligible(lay: StreamLayout, n_undefined) -> bool:
+    """2-bit wire: no Ns, uniform lengths, int32-safe positions."""
+    return (n_undefined == 0
+            and lay.lengths.size > 0
+            and int(lay.lengths.min()) == int(lay.lengths.max())
+            and lay.stream_len < (1 << 31) - (1 << 16))
+
+
+def chunked_packed2(stream: np.ndarray, lay: StreamLayout) -> np.ndarray:
+    """Flat 2-bit packed chunk buffer [m_pad * row_nbytes2(row)] uint8
+    (native threaded pass; numpy twin as fallback).  Gap/padding
+    positions pack as garbage 2-bit values — the device masks them via
+    the arithmetic validity rule, never reading them."""
+    from ..native import chunk_pack_stream2_native  # noqa: PLC0415
+
+    out = chunk_pack_stream2_native(
+        stream, lay.m_pad, lay.row, lay.core, lay.ctx)
+    if out is not None:
+        return out
+    rows = chunk_rows(stream, lay)
+    b2 = (rows.astype(np.int16) - 1).astype(np.uint8) & np.uint8(3)
+    b, length = b2.shape
+    pad4 = (-length) % 4
+    if pad4:
+        b2 = np.pad(b2, ((0, 0), (0, pad4)))
+    b2 = b2.reshape(b, -1, 4)
+    packed = (b2[:, :, 0] | (b2[:, :, 1] << 2) | (b2[:, :, 2] << 4)
+              | (b2[:, :, 3] << 6))
+    return np.ascontiguousarray(packed).reshape(-1)
+
+
+def _unpack_codes2(buf2d, row: int, g0, core: int, ctx: int, length: int,
+                   seq_len, stream_len):
+    """Codes (0 = invalid, 1..4 = ACGT) from the 2-bit wire.
+
+    ``g0``: global chunk index of row 0 (traced; the slab loop passes
+    k * _SLAB).  ``seq_len``/``stream_len``: traced int32 scalars, so
+    one compiled program serves every uniform corpus of a layout
+    bucket.  Validity: stream position p = (g0 + i) * core - ctx + j
+    is a real base iff 0 <= p < stream_len and p mod (seq_len + W)
+    < seq_len (sequence k occupies [k * (seq_len + W), ... + seq_len)).
+    """
+    b = buf2d.shape[0]
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    vals = ((buf2d[:, :, None] >> shifts) & 3).reshape(b, -1)[:, :row]
+    i = jnp.arange(b, dtype=jnp.int32)[:, None]
+    j = jnp.arange(row, dtype=jnp.int32)[None, :]
+    p = (g0.astype(jnp.int32) + i) * jnp.int32(core) - jnp.int32(ctx) + j
+    period = seq_len.astype(jnp.int32) + jnp.int32(length)
+    r = jnp.where(p >= 0, p, 0) % period
+    valid = ((p >= 0) & (p < stream_len.astype(jnp.int32))
+             & (r < seq_len.astype(jnp.int32)))
+    return jnp.where(valid, vals.astype(jnp.int32) + 1, 0)
+
+
 # chunk-axis slab: above this many chunks the count program processes
 # the stream in fixed-size slabs inside a fori_loop, so peak device
 # memory is one slab's intermediates (unpacked codes + window ids +
@@ -322,14 +400,19 @@ _SLAB_MIN = 65536
 
 
 def _accumulated_local_counts(buf2d, row: int, ctx: int, length: int,
-                              both_strands: bool, bg_order: int = -1):
+                              both_strands: bool, bg_order: int = -1,
+                              codes_fn=None):
     """(counts [4**W] int32 un-mirrored, ltot int64, susp [m_pad], bg):
     single pass for small chunk counts, slab fori_loop otherwise.  ``bg``
     is the fused background histogram when ``bg_order >= 0``, else
-    None."""
+    None.  ``codes_fn(slab_buf, first_chunk_idx) -> codes`` decodes the
+    wire format (default: the 2-bit + N-mask unpack)."""
+    if codes_fn is None:
+        def codes_fn(sl, g0):
+            return _unpack_codes(sl, row)
     m_pad = buf2d.shape[0]
     if m_pad <= _SLAB_MIN:
-        codes = _unpack_codes(buf2d, row)
+        codes = codes_fn(buf2d, jnp.int32(0))
         return stream_local_counts(codes, ctx, length, both_strands,
                                    bg_order)
     assert m_pad % _SLAB == 0, "bucket ladder must align to _SLAB"
@@ -338,7 +421,7 @@ def _accumulated_local_counts(buf2d, row: int, ctx: int, length: int,
     def body(k, st):
         counts, ltot, susp, bg = st
         sl = jax.lax.dynamic_slice_in_dim(buf2d, k * _SLAB, _SLAB, axis=0)
-        codes = _unpack_codes(sl, row)
+        codes = codes_fn(sl, (k * _SLAB).astype(jnp.int32))
         c, lt, sp, b = stream_local_counts(codes, ctx, length, both_strands,
                                            bg_order)
         susp = jax.lax.dynamic_update_slice_in_dim(susp, sp, k * _SLAB, 0)
@@ -446,6 +529,49 @@ def stream_count_device_fused(buf, row: int, ctx: int, length: int,
         buf, row, ctx, length, both_strands, bg_order)
     counts, vals, max_c = stream_compact(counts, length, both_strands)
     return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious, bg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("row", "ctx", "length", "both_strands", "bg_order"))
+def stream_count_device_fused2(buf, meta, row: int, ctx: int, length: int,
+                               both_strands: bool, bg_order: int = -1):
+    """:func:`stream_count_device_fused` on the 2-bit wire (see the
+    wire2 section above): ``meta`` is an int32 [2] device scalar pair
+    (seq_len, stream_len) — traced, so one compiled program serves
+    every uniform corpus in a layout bucket."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, row_nbytes2(row))
+    seq_len, stream_len = meta[0], meta[1]
+
+    def codes_fn(sl, g0):
+        return _unpack_codes2(sl, row, g0, row - length + 1 - ctx, ctx,
+                              length, seq_len, stream_len)
+
+    counts, ltot, suspicious, bg = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands, bg_order, codes_fn=codes_fn)
+    counts, vals, max_c = stream_compact(counts, length, both_strands)
+    return counts, _pack_fetch_blob(vals, max_c, ltot, suspicious, bg)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row", "ctx", "length", "both_strands"))
+def _stream_counts2_i32(buf, meta, row: int, ctx: int, length: int,
+                        both_strands: bool):
+    """uint16-overflow refetch on the 2-bit wire: canonical int32."""
+    if buf.ndim == 1:
+        buf = buf.reshape(-1, row_nbytes2(row))
+    seq_len, stream_len = meta[0], meta[1]
+
+    def codes_fn(sl, g0):
+        return _unpack_codes2(sl, row, g0, row - length + 1 - ctx, ctx,
+                              length, seq_len, stream_len)
+
+    counts, _, _, _ = _accumulated_local_counts(
+        buf, row, ctx, length, both_strands, codes_fn=codes_fn)
+    if both_strands:
+        return counts[encoding.canonical_idx_flat(length)]
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -574,10 +700,14 @@ def stream_fixup_delta(stream: np.ndarray, lay: StreamLayout,
 
 def stream_fixup_pairs(stream: np.ndarray, lay: StreamLayout,
                        susp: np.ndarray, both: bool,
-                       pad_to: int = 64):
+                       pad_to: int = 1024):
     """(ids, deltas, ltot_delta) padded for a static-shape device
     scatter-add, with reverse-complement mirror ids included (the
-    fixup_delta_pairs contract of ops.counting).  Native fast path
+    fixup_delta_pairs contract of ops.counting).  ``pad_to`` is 1024 so
+    ONE stats_program shape serves every ordinary corpus (a smaller
+    default bucketed per-corpus and recompiled stats mid-run — a ~6 s
+    cold-start stall on remote backends); the scatter cost of the
+    padding is negligible.  Native fast path
     (pengnative.cpp stream_fixup_native — the Python twin walks every
     affected window in interpreter loops, ~10 ms per suspicious chunk,
     and repeats make suspicion common in real genomes); Python twin

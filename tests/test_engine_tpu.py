@@ -158,6 +158,28 @@ def test_devices_tpu_engine_parity(stem, args, tmp_path):
     _run_and_diff_tol(argv, stem, tmp_path)
 
 
+def test_cold_host_climb_byte_exact(monkeypatch, tmp_path):
+    """The cold-start host-climb path (taken while the device walks
+    program compiles in the background on remote backends): the engine
+    output must satisfy the usual tolerance contract — climb rows are
+    byte-exact (the host climb IS the exact engine's native phase 2)
+    but phases 3/4 still run on device — and the climb engine must be
+    reported as 'host'."""
+    import peng_motif_tpu.engine_tpu as et
+    from peng_motif_tpu.ops import climb as climb_mod
+
+    monkeypatch.setattr(et, "_cold_warmed", {("forced",)})
+    monkeypatch.setattr(climb_mod, "_compiled_walk_keys", set())
+    argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
+            "--engine", "tpu"]
+    _run_and_diff_tol(argv, "mafk100_w8", tmp_path)
+    assert et.LAST_CLIMB_ENGINE == "host"
+    # pinning the device climb must win over the cold path
+    monkeypatch.setenv("PENG_COLD_HOST_CLIMB", "0")
+    _run_and_diff_tol(argv, "mafk100_w8", tmp_path)
+    assert et.LAST_CLIMB_ENGINE == "device"
+
+
 def test_uint16_overflow_refetch(monkeypatch):
     """A pattern occurring >65535 times overflows the compact uint16
     download and must trigger the int32 refetch

@@ -279,3 +279,71 @@ def test_slab_accumulation_matches_single_pass(both, monkeypatch):
     sc.stream_count_device_fused._clear_cache()  # drop patched trace
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+
+
+def test_wire2_matches_mask_wire():
+    """The 2-bit wire (no N-mask bytes; validity reconstructed on
+    device from (seq_len, stream_len)) must produce the identical
+    resident table and fetch blob as the 3-bit wire on a uniform
+    N-free corpus — including suspicion bits (tandem repeats) and the
+    fused background histogram."""
+    import jax
+    import jax.numpy as jnp
+
+    from peng_motif_tpu.ops import stream_count as sc
+
+    rng = np.random.default_rng(5)
+    L, W = 173, 8
+    seqs = [rng.integers(1, 5, size=L).astype(np.uint8) for _ in range(900)]
+    # tandem repeats inside a uniform-length sequence: suspicion bits
+    rep = np.tile(np.array([1, 2, 3, 4, 1, 2], np.uint8), 40)[:L]
+    seqs.append(np.ascontiguousarray(rep))
+    stream, lay = sc.build_stream(seqs, W)
+    assert sc.wire2_eligible(lay, 0)
+    buf3 = jnp.asarray(sc.chunked_packed(stream, lay))
+    counts3, blob3 = sc.stream_count_device_fused(
+        buf3, lay.row, lay.ctx, W, True, 2)
+    buf2 = jnp.asarray(sc.chunked_packed2(stream, lay))
+    assert buf2.size < buf3.size
+    meta = jnp.asarray([L, lay.stream_len], jnp.int32)
+    counts2, blob2 = sc.stream_count_device_fused2(
+        buf2, meta, lay.row, lay.ctx, W, True, 2)
+    np.testing.assert_array_equal(np.asarray(counts2), np.asarray(counts3))
+    np.testing.assert_array_equal(np.asarray(blob2), np.asarray(blob3))
+    # overflow-refetch twin
+    i32_2 = sc._stream_counts2_i32(buf2, meta, lay.row, lay.ctx, W, True)
+    i32_3 = sc._stream_counts_i32(buf3, lay.row, lay.ctx, W, True)
+    np.testing.assert_array_equal(np.asarray(i32_2), np.asarray(i32_3))
+
+
+def test_wire2_python_pack_matches_native():
+    from peng_motif_tpu.native import chunk_pack_stream2_native
+    from peng_motif_tpu.ops import stream_count as sc
+
+    rng = np.random.default_rng(6)
+    seqs = [rng.integers(1, 5, size=97).astype(np.uint8) for _ in range(50)]
+    stream, lay = sc.build_stream(seqs, 8, row=128)
+    native = chunk_pack_stream2_native(
+        stream, lay.m_pad, lay.row, lay.core, lay.ctx)
+    if native is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rows = sc.chunk_rows(stream, lay)
+    b2 = (rows.astype(np.int16) - 1).astype(np.uint8) & np.uint8(3)
+    b2 = b2.reshape(lay.m_pad, -1, 4)
+    want = (b2[:, :, 0] | (b2[:, :, 1] << 2) | (b2[:, :, 2] << 4)
+            | (b2[:, :, 3] << 6)).reshape(-1)
+    np.testing.assert_array_equal(native, want)
+
+
+def test_wire2_eligibility_gates():
+    from peng_motif_tpu.ops import stream_count as sc
+
+    rng = np.random.default_rng(7)
+    uni = [rng.integers(1, 5, size=64).astype(np.uint8) for _ in range(4)]
+    _, lay = sc.build_stream(uni, 8)
+    assert sc.wire2_eligible(lay, 0)
+    assert not sc.wire2_eligible(lay, 3)        # Ns present
+    ragged = uni + [rng.integers(1, 5, size=32).astype(np.uint8)]
+    _, lay_r = sc.build_stream(ragged, 8)
+    assert not sc.wire2_eligible(lay_r, 0)      # non-uniform lengths

@@ -20,6 +20,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Parity tests must exercise the DEVICE climb deterministically: without
+# this, a cold process would take the engine's host-climb cold path
+# while the walks program compiles in the background.
+os.environ.setdefault("PENG_COLD_HOST_CLIMB", "0")
+
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "golden")
