@@ -400,9 +400,14 @@ _cold_warmed: set = set()
 LAST_CLIMB_ENGINE = None
 
 
-def _m_pad_floor() -> int:
-    """Motif-slot floor: 64 on accelerators (one phase-3/4 program for
-    all default runs), 4 on CPU (padded EM costs real host time)."""
+def _m_pad_floor(wide: bool) -> int:
+    """Motif-slot floor: 64 on accelerators in f32 mode (one phase-3/4
+    program for all default runs; the padded slots cost ~ms), but 4 in
+    wide mode — the f64 adv-PWM table passes are software floats on
+    TPU and 64 padded slots cost ~0.45 s device time (measured v5e,
+    w10) — and 4 on CPU (padded EM costs real host time)."""
+    if wide:
+        return 4
     try:
         return 4 if jax.default_backend() == "cpu" else 64
     except Exception:  # pragma: no cover
@@ -523,7 +528,7 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
         except Exception:
             pass
 
-    def _warm_pwm_em(m_pad: int = 64):
+    def _warm_pwm_em(m_pad: int = 4):
         try:
             counts0, _ = _dummy_tables()
             if params.adv_pwm:
@@ -549,7 +554,7 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
     # walks first: its tracing alone takes seconds under the GIL and
     # its ~1-minute compile IS the cold-start critical path
     jobs = [(lambda S=S: _warm_walks(S)) for S in sorted(seed_buckets)] + [
-        _warm_stats, lambda: _warm_pwm_em(64)]
+        _warm_stats, lambda: _warm_pwm_em(_m_pad_floor(wide))]
     for job in jobs:
         threading.Thread(target=job, daemon=True).start()
 
@@ -565,7 +570,7 @@ def _spawn_phase34_warmup(counts_dev, n_selected: int, W: int, both: bool,
     background and the real shapes compile as before."""
     import threading
 
-    m_pad = max(_m_pad_floor(),
+    m_pad = max(_m_pad_floor(wide),
                 1 << (max(n_selected, 1) - 1).bit_length())
     key = (W, both, wide, m_pad, params.adv_pwm, params.use_em)
     if key in _warmed_keys:
@@ -946,7 +951,8 @@ def process_tpu(peng, params) -> List[Motif]:
             # fallback) compiles are cheap and the padded EM is NOT —
             # 2 host cores pay ~seconds per run — so the old fine
             # bucket ladder stays.
-            m_pad = max(_m_pad_floor(), 1 << (n_cand - 1).bit_length())
+            m_pad = max(_m_pad_floor(wide),
+                        1 << (n_cand - 1).bit_length())
             if params.adv_pwm:
                 from .alphabets import iupac_id_to_digits  # noqa: PLC0415
 
