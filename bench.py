@@ -180,6 +180,8 @@ def _measure_large(w, ref_s):
     5e-4 + 1e-5*|x| float tolerance — EM'd PWM cells carry f32
     summation-order noise amplified at ~5e7-count scale; decisions and
     integer aggregates must be exactly equal (token equality)."""
+    import peng_motif_tpu.engine_tpu as _et
+
     out_t = "/tmp/peng_bench_large_tpu.meme"
     out_e = "/tmp/peng_bench_large_exact.meme"
     run_once_path(LARGE_PATH, out_t, w, "tpu")          # warm
@@ -195,11 +197,28 @@ def _measure_large(w, ref_s):
                 for m in re.finditer(
                     r"\[TIMING\] (\S+): ([0-9.]+) ms", stderr)
             }
+    hybrid_frac = _et.LAST_HYBRID_FRAC
+    # honesty leg: the same run with the adaptive host+device co-count
+    # disabled (everything over the wire) — the split can never hide
+    # inside a wall number
+    prev = os.environ.get("PENG_HYBRID_DEVICE_FRAC")
+    os.environ["PENG_HYBRID_DEVICE_FRAC"] = "1"
+    try:
+        run_once_path(LARGE_PATH, out_t, w, "tpu")      # warm shapes
+        t0 = time.perf_counter()
+        run_once_path(LARGE_PATH, out_t, w, "tpu")
+        pure_dev_s = time.perf_counter() - t0
+    finally:
+        if prev is None:
+            del os.environ["PENG_HYBRID_DEVICE_FRAC"]
+        else:
+            os.environ["PENG_HYBRID_DEVICE_FRAC"] = prev
+        run_once_path(LARGE_PATH, out_t, w, "tpu")  # restore adaptive out
     t0 = time.perf_counter()
     run_once_path(LARGE_PATH, out_e, w, "exact")
     exact_s = time.perf_counter() - t0
     parity = _tol_diff(out_t, out_e, 5e-4, 1e-5)
-    return best_t, parity, exact_s, phases
+    return best_t, parity, exact_s, phases, hybrid_frac, pure_dev_s
 
 
 DEGRADED_RUNS = 0  # watchdog fallbacks during --engine tpu measurements
@@ -533,6 +552,10 @@ def main():
         m.group(1): round(float(m.group(2)) / 1e3, 4)
         for m in re.finditer(r"\[TIMING\] (\S+): ([0-9.]+) ms", stderr)
     }
+    if default_engine == "tpu":
+        import peng_motif_tpu.engine_tpu as _et_frac
+
+        phases["hybrid_device_frac"] = _et_frac.LAST_HYBRID_FRAC
 
     try:
         counting_mbs = round(_counting_throughput_mbases_s(), 1)
@@ -546,7 +569,8 @@ def main():
         try:
             for w in (8, 10):
                 ref_s = large_ref[w]
-                best_t, parity, exact_s, lphases = _measure_large(w, ref_s)
+                (best_t, parity, exact_s, lphases, hfrac,
+                 pure_dev_s) = _measure_large(w, ref_s)
                 large[f"large_w{w}_tpu_wall_s"] = round(best_t, 3)
                 large[f"large_w{w}_tpu_mbases_s"] = round(
                     LARGE_MBASES / best_t, 2)
@@ -555,6 +579,9 @@ def main():
                 large[f"large_w{w}_exact_wall_s"] = round(exact_s, 3)
                 large[f"large_w{w}_ref_wall_s"] = ref_s
                 large[f"large_w{w}_phase_wall_s"] = lphases
+                large[f"large_w{w}_hybrid_device_frac"] = hfrac
+                large[f"large_w{w}_pure_device_wall_s"] = round(
+                    pure_dev_s, 3)
             large["large_mbases"] = LARGE_MBASES
         except Exception as e:  # noqa: BLE001 - bench must still report
             large["large_error"] = f"{type(e).__name__}: {e}"

@@ -194,12 +194,20 @@ def _backend_responsive() -> bool:
 
 @functools.partial(
     jax.jit, static_argnames=("length", "order_k", "order_max", "both"))
-def stats_program(counts, v, ltot, fix_ids, fix_dv,
+def stats_program(counts, v, ltot, fix_ids, fix_dv, host_add,
                   length: int, order_k: int, order_max: int, both: bool):
     """Sparse dedup fix-up + background DP + per-pattern statistics
     (reference: src/base_pattern.cpp:231-325).  Every output stays
     resident on device — the dispatch is asynchronous and overlaps the
-    host's seed selection."""
+    host's seed selection.
+
+    ``host_add``: the hybrid co-count's host-share table (ops/hybrid.py)
+    merged into the resident table here, as an operand rather than an
+    extra dispatch (each dispatch costs a client round trip on remote
+    backends).  uint16 when the host share's max bin fits (half the
+    wire bytes), int32 otherwise; a device-created zeros array (free —
+    no host transfer) on non-hybrid runs."""
+    counts = counts + host_add.astype(jnp.int32)
     counts = counts.at[fix_ids].add(fix_dv)
     bgp = ft.bg_prob_flat(v, length, order_k)
     if both:
@@ -398,6 +406,10 @@ _cold_warmed: set = set()
 # bench reads this so a cold-path host climb can never masquerade as a
 # device-phase measurement
 LAST_CLIMB_ENGINE = None
+# device share chosen by the hybrid co-count planner on the last
+# single-device run (1.0 = pure device, 0.0 = host-only count) — bench
+# observability, so split decisions can never hide inside a wall number
+LAST_HYBRID_FRAC = None
 
 
 def _m_pad_floor(wide: bool) -> int:
@@ -505,10 +517,15 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
             counts0, _ = _dummy_tables()
             v0 = tuple(jnp.full(4 ** (j + 1), 0.25, jnp.float32)
                        for j in range(order_max + 1))
-            stats_program(counts0, v0, jnp.int32(4),
-                          jnp.zeros(1024, jnp.int32),
-                          jnp.zeros(1024, jnp.int32),
-                          W, order_k, order_max, both)
+            # both host_add dtypes: u16 is the common hybrid/non-hybrid
+            # program, i32 the rare host-share-overflow variant — warm
+            # both so no product run ever pays a stats compile
+            for dt in (jnp.uint16, jnp.int32):
+                stats_program(counts0, v0, jnp.int32(4),
+                              jnp.zeros(1024, jnp.int32),
+                              jnp.zeros(1024, jnp.int32),
+                              jnp.zeros(4 ** W, dt),
+                              W, order_k, order_max, both)
         except Exception:  # speculative only — never surface
             pass
 
@@ -598,24 +615,30 @@ def _spawn_phase34_warmup(counts_dev, n_selected: int, W: int, both: bool,
     threading.Thread(target=_warm, daemon=True).start()
 
 
-def _bg_corrections(sset, bgm, flat, lay):
+def _bg_corrections(sequences, order: int, flat, lengths):
     """Host completion of the fused device bg histogram (computed while
-    the device count is in flight; see models/background.py)."""
+    the device count is in flight; see models/background.py).  Covers
+    exactly the sequences the device counted — the hybrid co-count
+    passes only the device share."""
     from .models.background import bg_device_corrections  # noqa: PLC0415
 
     return bg_device_corrections(
-        sset.sequences, bgm.order, flat_codes=flat, lengths=lay.lengths)
+        sequences, order, flat_codes=flat, lengths=lengths)
 
 
-def _deliver_bg(bgm, bg_words, bg_corr):
+def _deliver_bg(bgm, bg_words, bg_corr, bg_extra=None):
     """Split the fetched fused histogram into per-order vectors, add
-    the host corrections, and hand the counts to the deferred model."""
+    the host corrections (and the hybrid host share's counts, when the
+    co-count kept part of the corpus off the wire), and hand the counts
+    to the deferred model."""
     from .ops.stream_count import bg_offset  # noqa: PLC0415
 
     words = np.asarray(bg_words, dtype=np.int64)
-    bgm.provide_counts([
-        words[bg_offset(k) : bg_offset(k) + 4 ** (k + 1)] + bg_corr[k]
-        for k in range(bgm.order + 1)])
+    out = [words[bg_offset(k) : bg_offset(k) + 4 ** (k + 1)] + bg_corr[k]
+           for k in range(bgm.order + 1)]
+    if bg_extra is not None:
+        out = [a + b for a, b in zip(out, bg_extra)]
+    bgm.provide_counts(out)
 
 
 def _digits_to_iupac_id(digits) -> int:
@@ -680,6 +703,7 @@ def process_tpu(peng, params) -> List[Motif]:
     # slice alongside the resident table) --------------------------------
     mark = _subtimer()
     with peng.timer.phase("count"):
+        host_add = None  # hybrid co-count host-share table (ops/hybrid.py)
         if params.precomputed is not None or params.load_checkpoint:
             if params.precomputed is not None:
                 # externally counted table (multi-host collectives,
@@ -708,6 +732,8 @@ def process_tpu(peng, params) -> List[Motif]:
             # (reference serial analogue: BackgroundModel.cpp:59-84)
             bgm = peng.bg_model
             flat = getattr(sset, "_flat_codes", None)
+            if flat is not None and flat.shape[0] != sset.total_bases:
+                flat = None  # stale parse buffer: never slice by offset
             defer_bg = (getattr(bgm, "deferred", False)
                         and bgm.order <= 3 and 2 * (W - 1) >= 8)
             if defer_bg and flat is not None and flat.shape[0] >= 1_500_000_000:
@@ -747,68 +773,120 @@ def process_tpu(peng, params) -> List[Motif]:
             else:
                 # stream layout: ragged-exact, long-contig halo chunks,
                 # shape-stable compiles (ops/stream_count.py)
+                from .ops import hybrid as hy  # noqa: PLC0415
                 from .ops.counting import _n_canonical  # noqa: PLC0415
                 from .ops.stream_count import (  # noqa: PLC0415
-                    build_stream, chunked_packed, split_fetch_blob,
-                    stream_count_device_fused)
+                    build_stream, chunked_packed, chunked_packed2,
+                    split_fetch_blob, stream_count_device_fused,
+                    stream_count_device_fused2, wire2_eligible)
 
                 mark("start")
-                stream, lay = build_stream(
-                    sset.sequences, W, flat_codes=flat)
-                mark("build_stream")
-                # One fused native chunk+pack, ONE 1-D upload, ONE
-                # dispatch (a 2-D put pays a per-shape layout-program
-                # compile; the fused program slabs internally via
-                # fori_loop to bound peak HBM).  A host-side slab chain
-                # with donated accumulators — the round-4 "pipelined"
-                # path — was measured 15x SLOWER warm on the tunneled
-                # backend (1.5 s vs 0.097 s at 51.2 Mbases): every
-                # donated dispatch pays a client round trip, while pack
-                # (18 ms, threaded) and upload (85 ms at 260 MB/s) are
-                # too cheap to need overlapping.  (A raw-stream upload
-                # with on-device row extraction was also measured 3-4x
-                # slower: the XLA overlapping-window materialization
-                # costs more than the host's threaded 2-bit pack saves.)
-                from .ops.stream_count import (  # noqa: PLC0415
-                    chunked_packed2, stream_count_device_fused2,
-                    wire2_eligible)
+                # adaptive host+device co-count (ops/hybrid.py): on a
+                # remote backend the wire bounds the device share while
+                # the native threaded scan runs at a comparable rate —
+                # the planner splits the corpus so both finish together
+                # (tiny corpora skip the device round trip entirely;
+                # counts stay exact — every quantity is per-sequence
+                # additive).  On a local CPU backend the wire cost
+                # model is meaningless: stay pure-device unless a test
+                # forces a fraction explicitly.
+                import os as _os  # noqa: PLC0415
 
+                lengths_all = sset._lengths()
+                frac = 1.0
+                if hy.host_share_available() and (
+                        jax.default_backend() != "cpu"
+                        or "PENG_HYBRID_DEVICE_FRAC" in _os.environ):
+                    frac = hy.plan_device_fraction(sset.total_bases)
+                global LAST_HYBRID_FRAC
+                LAST_HYBRID_FRAC = frac
+                ja, off = hy.split_index(lengths_all, frac)
+                host_share = None
+                if ja < sset.n:
+                    host_share = hy.start_host_share(
+                        sset.sequences[ja:], lengths_all[ja:], flat, off,
+                        W, both, bg_order)
+                    mark("host share start (frac=%.2f)" % frac)
                 n_undef = getattr(sset, "n_undefined", None)
                 if n_undef is None and flat is not None:
                     n_undef = int(np.count_nonzero(flat == 0))
-                if n_undef is not None and wire2_eligible(lay, n_undef):
-                    # 2-bit wire: -33% upload bytes (the link is the
-                    # large-corpus bottleneck); validity reconstructed
-                    # on device from (seq_len, stream_len)
-                    buf = jnp.asarray(chunked_packed2(stream, lay))
-                    mark("pack+h2d")
-                    meta = jnp.asarray(
-                        [int(lay.lengths[0]), lay.stream_len], jnp.int32)
-                    counts_dev, blob_dev = stream_count_device_fused2(
-                        buf, meta, lay.row, lay.ctx, W, both, bg_order)
-                else:
-                    buf = jnp.asarray(chunked_packed(stream, lay))
-                    mark("pack+h2d")
-                    counts_dev, blob_dev = stream_count_device_fused(
-                        buf, lay.row, lay.ctx, W, both, bg_order)
-                mark("count dispatch")
-                if defer_bg:
-                    bg_corr = _bg_corrections(sset, bgm, flat, lay)
-                else:
-                    v = _bg_v()  # overlaps the in-flight device count
-                mark("bg model")
-                n_canon = _n_canonical(W) if both else 4 ** W
-                ltot, max_c, susp_np, vals, bg_words = split_fetch_blob(
-                    guarded_get(blob_dev, what="count blob"),
-                    lay.m_pad, n_canon, bg_order)
-                if defer_bg:
-                    _deliver_bg(bgm, bg_words, bg_corr)
+                stream = lay = None
+                vals = susp_np = bg_words = None
+                ltot, max_c = 0, 0
+                if ja > 0:
+                    if host_share is None:
+                        seqs_a, flat_a = sset.sequences, flat
+                        n_undef_a = n_undef
+                    else:
+                        seqs_a = sset.sequences[:ja]
+                        flat_a = flat[:off] if flat is not None else None
+                        n_undef_a = n_undef
+                        if n_undef_a and flat_a is not None:
+                            n_undef_a = int(np.count_nonzero(flat_a == 0))
+                    stream, lay = build_stream(seqs_a, W, flat_codes=flat_a)
+                    mark("build_stream")
+                    # One fused native chunk+pack, ONE 1-D upload, ONE
+                    # dispatch (a 2-D put pays a per-shape layout-program
+                    # compile; the fused program slabs internally via
+                    # fori_loop to bound peak HBM).  A host-side slab
+                    # chain with donated accumulators — the round-4
+                    # "pipelined" path — was measured 15x SLOWER warm on
+                    # the tunneled backend (1.5 s vs 0.097 s at 51.2
+                    # Mbases): every donated dispatch pays a client round
+                    # trip, while pack (18 ms, threaded) is too cheap to
+                    # need overlapping.  (A raw-stream upload with
+                    # on-device row extraction was also measured 3-4x
+                    # slower: the XLA overlapping-window materialization
+                    # costs more than the host's threaded 2-bit pack
+                    # saves.)
+                    if n_undef_a is not None and wire2_eligible(
+                            lay, n_undef_a):
+                        # 2-bit wire: -33% upload bytes (the link is the
+                        # large-corpus bottleneck); validity
+                        # reconstructed on device from
+                        # (seq_len, stream_len)
+                        buf = jnp.asarray(chunked_packed2(stream, lay))
+                        mark("pack+h2d")
+                        meta = jnp.asarray(
+                            [int(lay.lengths[0]), lay.stream_len],
+                            jnp.int32)
+                        counts_dev, blob_dev = stream_count_device_fused2(
+                            buf, meta, lay.row, lay.ctx, W, both, bg_order)
+                    else:
+                        buf = jnp.asarray(chunked_packed(stream, lay))
+                        mark("pack+h2d")
+                        counts_dev, blob_dev = stream_count_device_fused(
+                            buf, lay.row, lay.ctx, W, both, bg_order)
+                    mark("count dispatch")
+                    if defer_bg:
+                        bg_corr = _bg_corrections(
+                            seqs_a, bgm.order, flat_a, lay.lengths)
+                    else:
+                        v = _bg_v()  # overlaps the in-flight device count
+                    mark("bg model")
+                    n_canon = _n_canonical(W) if both else 4 ** W
+                    ltot, max_c, susp_np, vals, bg_words = split_fetch_blob(
+                        guarded_get(blob_dev, what="count blob"),
+                        lay.m_pad, n_canon, bg_order)
+                    mark("blob fetch")
+                elif not defer_bg:
                     v = _bg_v()
-                mark("blob fetch")
+                host_tab = bg_b = None
+                if host_share is not None:
+                    host_tab, ltot_b, bg_b = host_share.join()
+                    ltot = int(ltot) + int(ltot_b)
+                    mark("host share join")
+                if defer_bg:
+                    if ja > 0:
+                        _deliver_bg(bgm, bg_words, bg_corr, bg_b)
+                    else:
+                        bgm.provide_counts(bg_b)  # host oracle, exact
+                    v = _bg_v()
             if params.mesh is not None:
                 if defer_bg:
                     # corrections overlap the in-flight collective
-                    bg_corr = _bg_corrections(sset, bgm, flat, lay)
+                    bg_corr = _bg_corrections(
+                        sset.sequences, bgm.order, flat, lay.lengths)
                     vals, max_c, ltot, susp_np, bg_words = guarded_get(
                         (vals_u16, max_c, ltot_dev, susp_dev, bg_dev),
                         what="mesh count")
@@ -819,20 +897,43 @@ def process_tpu(peng, params) -> List[Motif]:
                     vals, max_c, ltot, susp_np = guarded_get(
                         (vals_u16, max_c, ltot_dev, susp_dev),
                         what="mesh count")
+                host_tab = None
             ltot = int(ltot)
-            if int(max_c) > np.iinfo(np.uint16).max:
-                vals = guarded_get(
-                    _compact_counts_i32(counts_dev, W, both),
-                    what="overflow refetch")
-            counts_host = _mirror_host(vals, W, both)
-            mark("mirror host")
-            from .ops.stream_count import stream_fixup_pairs  # noqa: PLC0415
+            if vals is not None:
+                if int(max_c) > np.iinfo(np.uint16).max:
+                    vals = guarded_get(
+                        _compact_counts_i32(counts_dev, W, both),
+                        what="overflow refetch")
+                counts_host = _mirror_host(vals, W, both)
+                mark("mirror host")
+                from .ops.stream_count import (  # noqa: PLC0415
+                    stream_fixup_pairs)
 
-            fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
-                stream, lay, susp_np, both)
-            ltot += ltot_delta
-            np.add.at(counts_host, fix_ids, fix_dv)
-            mark("fixup")
+                fix_ids, fix_dv, ltot_delta = stream_fixup_pairs(
+                    stream, lay, susp_np, both)
+                ltot += ltot_delta
+                np.add.at(counts_host, fix_ids, fix_dv)
+                if host_tab is not None:
+                    counts_host += host_tab
+                    host_add = (host_tab.astype(np.uint16)
+                                if int(host_tab.max(initial=0))
+                                <= np.iinfo(np.uint16).max else host_tab)
+                mark("fixup")
+            else:
+                # host-only count (planner frac == 0): the native scan
+                # IS the table; the resident device copy rides the
+                # host_add operand (u16 halves the upload; the rare
+                # >u16-bin table uploads as the i32 counts operand —
+                # both stats variants are pre-compiled)
+                counts_host = host_tab
+                fix_ids = np.zeros(1024, dtype=np.int32)
+                fix_dv = np.zeros(1024, dtype=np.int32)
+                if int(host_tab.max(initial=0)) <= np.iinfo(np.uint16).max:
+                    counts_dev = jnp.zeros(4 ** W, jnp.int32)
+                    host_add = host_tab.astype(np.uint16)
+                else:
+                    counts_dev = jnp.asarray(host_tab)
+                mark("host-only table")
 
         if ltot >= (1 << 31):
             # int32 count-table / uint32 fetch-blob bounds
@@ -846,7 +947,10 @@ def process_tpu(peng, params) -> List[Motif]:
         # host-corrected value: seam fix-ups can shift it)
         st = stats_program(
             counts_dev, v, jnp.int32(ltot), jnp.asarray(fix_ids),
-            jnp.asarray(fix_dv), W, current_k, current_max_k, both)
+            jnp.asarray(fix_dv),
+            jnp.zeros(4 ** W, jnp.uint16) if host_add is None
+            else jnp.asarray(host_add),
+            W, current_k, current_max_k, both)
         mark("stats dispatch")
 
         bgp_host = _host_bg_flat(peng.bg_model.v, W, current_k, both)
