@@ -529,7 +529,7 @@ def main():
     # program compiled in the background (engine_tpu cold-start
     # contract); spin until the compile lands so every timed "tpu"
     # number below measures the device climb, and report the outcome
-    climb_engine = None
+    climb_engine = pwm_engine = None
     if default_engine == "tpu":
         import peng_motif_tpu.engine_tpu as _et
 
@@ -537,7 +537,8 @@ def main():
         while time.perf_counter() - t_wait < 180:
             run_once(out, 10, "tpu")
             climb_engine = _et.LAST_CLIMB_ENGINE
-            if climb_engine != "host":
+            pwm_engine = _et.LAST_PWM_ENGINE
+            if climb_engine != "host" and pwm_engine != "host":
                 break
             time.sleep(5)
 
@@ -655,8 +656,10 @@ def main():
                     "tpu_runs_degraded_to_exact": DEGRADED_RUNS,
                     # "device" once the walks program compiled; "host"
                     # would mean timed climbs ran the cold-path host
-                    # climb (engine_tpu.LAST_CLIMB_ENGINE)
+                    # climb (engine_tpu.LAST_CLIMB_ENGINE); same for
+                    # the PWM/EM phases (LAST_PWM_ENGINE)
                     "climb_engine": climb_engine,
+                    "pwm_engine": pwm_engine,
                     **large,
                 },
             }

@@ -401,11 +401,25 @@ def _select_seeds_host(z: np.ndarray, counts: np.ndarray, W: int,
 
 _warmed_keys: set = set()
 _cold_warmed: set = set()
+# phase-3/4 program keys whose device compiles have LANDED (vs
+# _warmed_keys, which dedupes warmup spawns): the cold host PWM/EM
+# fallback triggers while a run's key is absent here
+_pwm_em_compiled: set = set()
+# count-program keys (layout bucket + wire format) whose compiles have
+# landed: while a run's key is absent, the hybrid planner is forced to
+# frac 0 (host-only count) and the program compiles on dummy zeros in
+# the background — a cold process never stalls on the ~50 s remote
+# count compile either
+_count_compiled: set = set()
 
 # which implementation ran the last climb ("device" | "host"): the
 # bench reads this so a cold-path host climb can never masquerade as a
 # device-phase measurement
 LAST_CLIMB_ENGINE = None
+# "host" when the last run's PWM/EM phases took the byte-exact host
+# fallback (cold process, device programs still compiling) — bench
+# honesty, mirroring LAST_CLIMB_ENGINE
+LAST_PWM_ENGINE = None
 # device share chosen by the hybrid co-count planner on the last
 # single-device run (1.0 = pure device, 0.0 = host-only count) — bench
 # observability, so split decisions can never hide inside a wall number
@@ -432,6 +446,46 @@ def _host_climb_allowed() -> bool:
     import os
 
     return os.environ.get("PENG_COLD_HOST_CLIMB", "1") != "0"
+
+
+def _count_warm_key(W: int, both: bool, bg_order: int, wire2: bool,
+                    lay) -> tuple:
+    """Compile-cache key of the fused count program: its jit
+    specialization is (static args, buffer-shape bucket)."""
+    return (W, both, bg_order, wire2, lay.m_pad, lay.row, lay.ctx)
+
+
+def _spawn_count_warmup(ckey: tuple, lay, W: int, both: bool,
+                        bg_order: int, wire2: bool):
+    """Background compile of the fused count program for this corpus's
+    layout bucket, on device-created zeros (no wire traffic).  While it
+    is in flight the engine counts host-only; the key is marked only
+    after the dummy blob lands, so the next run takes the device
+    share."""
+    import threading
+
+    m_pad, row, ctx = lay.m_pad, lay.row, lay.ctx
+    stream_len, seq0 = lay.stream_len, int(lay.lengths[0])
+
+    def _warm():
+        try:
+            from .ops import stream_count as sc  # noqa: PLC0415
+
+            if wire2:
+                buf = jnp.zeros(m_pad * sc.row_nbytes2(row), jnp.uint8)
+                meta = jnp.asarray([seq0, stream_len], jnp.int32)
+                _, blob = sc.stream_count_device_fused2(
+                    buf, meta, row, ctx, W, both, bg_order)
+            else:
+                buf = jnp.zeros(m_pad * sc.row_nbytes(row), jnp.uint8)
+                _, blob = sc.stream_count_device_fused(
+                    buf, row, ctx, W, both, bg_order)
+            jax.device_get(blob)
+            _count_compiled.add(ckey)
+        except Exception:  # speculative only
+            pass
+
+    threading.Thread(target=_warm, daemon=True).start()
 
 
 def _spawn_missed_walk_warmup(wkey: tuple, params):
@@ -465,7 +519,9 @@ def _host_climb(peng, params, selected, counts_host, ltot, W: int,
     """Byte-exact host climb over the fetched count table (the exact
     engine's phase 2, native batched scoring): used on a cold process
     while the device walks program compiles in the background.  Prints
-    the identical climb rows / motif table as the device replay."""
+    the identical climb rows / motif table as the device replay.
+    Returns (candidates, tables) — the tables serve the cold host
+    PWM/EM fallback when phase 3/4 programs are also still compiling."""
     from .pattern_tables import PatternTables  # noqa: PLC0415
 
     tables = PatternTables(
@@ -473,7 +529,7 @@ def _host_climb(peng, params, selected, counts_host, ltot, W: int,
         peng.n_sequences, precomputed=(counts_host, int(ltot)))
     return peng._optimize_iupac_patterns(
         params.opt_score_type, tables, selected,
-        params.enrich_pseudocount_factor)
+        params.enrich_pseudocount_factor), tables
 
 
 def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
@@ -561,8 +617,9 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
                     jnp.full(4 ** W, 0.25, jnp.float32),
                     params.em_saturation_factor, params.em_min_threshold,
                     params.em_max_iterations, W)
-            _warmed_keys.add((W, both, wide, m_pad,
-                              params.adv_pwm, params.use_em))
+            key = (W, both, wide, m_pad, params.adv_pwm, params.use_em)
+            _warmed_keys.add(key)
+            _pwm_em_compiled.add(key)
         except Exception:
             pass
 
@@ -609,6 +666,7 @@ def _spawn_phase34_warmup(counts_dev, n_selected: int, W: int, both: bool,
                     jnp.full(4 ** W, 0.25, jnp.float32),
                     params.em_saturation_factor, params.em_min_threshold,
                     params.em_max_iterations, W)
+            _pwm_em_compiled.add(key)
         except Exception:  # speculative only — never surface
             pass
 
@@ -797,24 +855,17 @@ def process_tpu(peng, params) -> List[Motif]:
                 if hy.host_share_available() and (
                         jax.default_backend() != "cpu"
                         or "PENG_HYBRID_DEVICE_FRAC" in _os.environ):
-                    frac = hy.plan_device_fraction(sset.total_bases)
-                global LAST_HYBRID_FRAC
-                LAST_HYBRID_FRAC = frac
+                    frac = hy.plan_device_fraction(sset.total_bases, W)
                 ja, off = hy.split_index(lengths_all, frac)
-                host_share = None
-                if ja < sset.n:
-                    host_share = hy.start_host_share(
-                        sset.sequences[ja:], lengths_all[ja:], flat, off,
-                        W, both, bg_order)
-                    mark("host share start (frac=%.2f)" % frac)
                 n_undef = getattr(sset, "n_undefined", None)
                 if n_undef is None and flat is not None:
                     n_undef = int(np.count_nonzero(flat == 0))
                 stream = lay = None
                 vals = susp_np = bg_words = None
                 ltot, max_c = 0, 0
+                seqs_a = flat_a = n_undef_a = wire2 = None
                 if ja > 0:
-                    if host_share is None:
+                    if ja == sset.n:
                         seqs_a, flat_a = sset.sequences, flat
                         n_undef_a = n_undef
                     else:
@@ -825,6 +876,30 @@ def process_tpu(peng, params) -> List[Motif]:
                             n_undef_a = int(np.count_nonzero(flat_a == 0))
                     stream, lay = build_stream(seqs_a, W, flat_codes=flat_a)
                     mark("build_stream")
+                    wire2 = bool(
+                        n_undef_a is not None
+                        and wire2_eligible(lay, n_undef_a))
+                    ckey = _count_warm_key(W, both, bg_order, wire2, lay)
+                    if (ckey not in _count_compiled and _cold_warmed
+                            and _host_climb_allowed()
+                            and hy.host_share_available()):
+                        # this layout bucket's count program hasn't
+                        # compiled yet (~50 s server-side): count
+                        # host-only this run, compile in the background
+                        _spawn_count_warmup(ckey, lay, W, both,
+                                            bg_order, wire2)
+                        stream = lay = None
+                        ja, off, frac = 0, 0, 0.0
+                        mark("cold count: host-only + bg compile")
+                global LAST_HYBRID_FRAC
+                LAST_HYBRID_FRAC = frac
+                host_share = None
+                if ja < sset.n:
+                    host_share = hy.start_host_share(
+                        sset.sequences[ja:], lengths_all[ja:], flat, off,
+                        W, both, bg_order)
+                    mark("host share start (frac=%.2f)" % frac)
+                if ja > 0:
                     # One fused native chunk+pack, ONE 1-D upload, ONE
                     # dispatch (a 2-D put pays a per-shape layout-program
                     # compile; the fused program slabs internally via
@@ -1009,11 +1084,12 @@ def process_tpu(peng, params) -> List[Motif]:
         and not climb_mod.walk_compiled(wkey)
         and _host_climb_allowed())
     global LAST_CLIMB_ENGINE
+    host_tables = None
     with peng.timer.phase("optimize"):
         if use_host_climb:
             LAST_CLIMB_ENGINE = "host"
             _spawn_missed_walk_warmup(wkey, params)
-            candidates = _host_climb(
+            candidates, host_tables = _host_climb(
                 peng, params, selected, counts_host, ltot, W,
                 current_k, current_max_k)
         else:
@@ -1037,10 +1113,55 @@ def process_tpu(peng, params) -> List[Motif]:
     for motif in candidates:
         print(f"selected iupac pattern: {motif.iupac_string()}", file=out)
 
-    # -- phases 3 + 4 head: PWMs + EM — one dispatch chain, one fetch -----
+    # -- phases 3 + 4 head: PWMs + EM — one dispatch chain, one fetch.
+    # Cold-process fallback (mirrors the climb's): while this shape's
+    # adv-PWM/EM compiles are still in flight, the byte-exact host
+    # twins (pipeline._calculate_pwms / _em_optimize over the climb's
+    # PatternTables) serve the run — a fresh process never stalls on a
+    # phase-3/4 compile either. ------------------------------------------
     peng._status("Calculating PWMs")
     background = peng.max_k
     table_order = min(background, W - 1)
+    global LAST_PWM_ENGINE
+    use_host_pwm = False
+    if candidates:
+        n_c = len(candidates)
+        pkey = (W, both, wide,
+                max(_m_pad_floor(wide), 1 << (n_c - 1).bit_length()),
+                params.adv_pwm, params.use_em)
+        use_host_pwm = (host_tables is not None
+                        and pkey not in _pwm_em_compiled
+                        and _host_climb_allowed())
+    LAST_PWM_ENGINE = "host" if use_host_pwm else "device"
+    if use_host_pwm:
+        with peng.timer.phase("pwm"):
+            peng._calculate_pwms(host_tables, candidates, params)
+        peng._status(
+            "Optimizing expectation-maximization / merging patterns")
+        results: List[Motif] = []
+        print(f"\nbackground order: {background}", file=out)
+        with peng.timer.phase("em+merge"):
+            if params.use_em:
+                optimized = peng._em_optimize(
+                    candidates, host_tables, params.em_saturation_factor,
+                    params.em_min_threshold, params.em_max_iterations,
+                    table_order, params.threads)
+            else:
+                optimized = candidates
+            if params.use_merging:
+                if W >= MIN_MERGE_OVERLAP:
+                    peng._merge_patterns(
+                        W, params.bit_factor_merge_threshold, optimized,
+                        params.max_merged_length)
+                else:
+                    import sys  # noqa: PLC0415
+
+                    print(f"Warning: Specified pattern length ({W}) is "
+                          "too low for merging!", file=sys.stderr)
+        for motif in optimized:
+            motif.opt_bg_order = background
+            results.append(motif)
+        return results
     with peng.timer.phase("pwm"):
         pwm0_np = final_pwms = None
         if candidates:

@@ -54,20 +54,38 @@ def _env_f(name: str, default: float) -> float:
         return default
 
 
-def plan_device_fraction(total_bases: int) -> float:
+def _kernel_bases_s(W: int) -> float:
+    """Device histogram throughput by table size (measured v5e,
+    BENCH_r04 roofline): the MXU one-hot path sustains ~580 Mbases/s up
+    to 4**8 bins, the square-split kernel ~115 at 4**10, and the XLA
+    scatter ~85 beyond."""
+    n_bins = 4 ** W
+    if n_bins <= (1 << 16):
+        return 580e6
+    if n_bins <= (1 << 20):
+        return 115e6
+    return 85e6
+
+
+def plan_device_fraction(total_bases: int, W: int = 8) -> float:
     """Wall-optimal device share f in [0, 1].
 
-    Cost model: device wall = f*B/d + lat (upload-bound wire rate d
-    plus one blocking blob round trip), host wall = (1-f)*B/h (threaded
-    native count+bg scan).  Minimizing max(...) equalizes the two:
+    Cost model: device wall = f*B/d + lat, where 1/d = 1/wire +
+    1/kernel (the upload and the in-program scan don't overlap on a
+    single fused dispatch) and lat is one blocking blob round trip;
+    host wall = (1-f)*B/h (threaded native count+bg scan).  Minimizing
+    max(...) equalizes the two:
 
         f* = (B/h - lat) / (B/d + B/h),  clipped to [0, 1]
 
     f* <= 0 (small corpora) means the host scan alone beats any split
     that pays the device round trip -> host-only count.  The rates are
-    calibrated for the tunneled-relay backend (measured 2026-08-21:
-    12.8 MB 2-bit upload -> ~0.8 s count wall; exact-engine host scan
-    51.2 Mbases -> ~0.73 s) and env-overridable for other links.
+    calibrated on the tunneled-relay backend from a live hybrid run
+    (2026-08-21, 51.2 Mbases, w8, f=0.34: device share 17.4 Mb done in
+    0.33 s incl. the blocking blob fetch -> wire~80e6 with lat~0.12 s;
+    host share 33.8 Mb in 0.62 s -> h~55e6, the count+bg native scans
+    time-sharing 2 cores with the engine's own threads) and
+    env-overridable for other links.
     """
     forced = os.environ.get("PENG_HYBRID_DEVICE_FRAC")
     if forced is not None:
@@ -75,13 +93,14 @@ def plan_device_fraction(total_bases: int) -> float:
             return min(1.0, max(0.0, float(forced)))
         except ValueError:
             pass
-    d = _env_f("PENG_WIRE_BASES_S", 62e6)
-    h = _env_f("PENG_HOST_SCAN_BASES_S", 70e6)
-    lat = _env_f("PENG_DEVICE_LATENCY_S", 0.2)
-    if total_bases <= 0 or d <= 0:
+    wire = _env_f("PENG_WIRE_BASES_S", 80e6)
+    h = _env_f("PENG_HOST_SCAN_BASES_S", 55e6)
+    lat = _env_f("PENG_DEVICE_LATENCY_S", 0.12)
+    if total_bases <= 0 or wire <= 0:
         return 0.0
     if h <= 0:
         return 1.0
+    d = 1.0 / (1.0 / wire + 1.0 / _kernel_bases_s(W))
     b_h = total_bases / h
     f = (b_h - lat) / (total_bases / d + b_h)
     return min(1.0, max(0.0, f))

@@ -159,25 +159,36 @@ def test_devices_tpu_engine_parity(stem, args, tmp_path):
 
 
 def test_cold_host_climb_byte_exact(monkeypatch, tmp_path):
-    """The cold-start host-climb path (taken while the device walks
-    program compiles in the background on remote backends): the engine
-    output must satisfy the usual tolerance contract — climb rows are
-    byte-exact (the host climb IS the exact engine's native phase 2)
-    but phases 3/4 still run on device — and the climb engine must be
-    reported as 'host'."""
+    """The cold-start host fallbacks (taken while device programs
+    compile in the background on remote backends): with the walks AND
+    phase-3/4 compiles outstanding, the climb, PWM and EM all run on
+    the byte-exact host twins — the whole output must equal the
+    reference golden byte-for-byte — and both engines must be reported
+    as 'host'."""
     import peng_motif_tpu.engine_tpu as et
     from peng_motif_tpu.ops import climb as climb_mod
 
     monkeypatch.setattr(et, "_cold_warmed", {("forced",)})
     monkeypatch.setattr(climb_mod, "_compiled_walk_keys", set())
+    monkeypatch.setattr(et, "_pwm_em_compiled", set())
     argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
             "--engine", "tpu"]
+    _run_and_diff(argv, "mafk100_w8", tmp_path)
+    assert et.LAST_CLIMB_ENGINE == "host"
+    assert et.LAST_PWM_ENGINE == "host"
+    # phase-3/4 compile landed, walks still compiling: host climb +
+    # device PWM/EM — the usual tolerance contract
+    monkeypatch.setattr(
+        et, "_pwm_em_compiled",
+        {(8, True, False, 64, True, True), (8, True, False, 4, True, True)})
     _run_and_diff_tol(argv, "mafk100_w8", tmp_path)
     assert et.LAST_CLIMB_ENGINE == "host"
-    # pinning the device climb must win over the cold path
+    assert et.LAST_PWM_ENGINE == "device"
+    # pinning the device paths must win over the cold fallbacks
     monkeypatch.setenv("PENG_COLD_HOST_CLIMB", "0")
     _run_and_diff_tol(argv, "mafk100_w8", tmp_path)
     assert et.LAST_CLIMB_ENGINE == "device"
+    assert et.LAST_PWM_ENGINE == "device"
 
 
 def test_uint16_overflow_refetch(monkeypatch):

@@ -45,7 +45,12 @@ def test_plan_large_corpus_splits(monkeypatch):
     assert 0.2 < f < 0.6
     # device share grows toward the equal-rate split as B -> inf
     f_big = hy.plan_device_fraction(1_000_000_000)
-    assert f < f_big < 0.6
+    assert f < f_big < 0.65
+    # wider tables scan slower on device (4**10 histogram) -> the
+    # planner keeps more of the corpus on host at w10/w12
+    assert hy.plan_device_fraction(51_200_000, 10) < f
+    assert (hy.plan_device_fraction(51_200_000, 12)
+            <= hy.plan_device_fraction(51_200_000, 10))
 
 
 def test_plan_env_override(monkeypatch):
