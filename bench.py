@@ -184,7 +184,22 @@ def _measure_large(w, ref_s):
 
     out_t = "/tmp/peng_bench_large_tpu.meme"
     out_e = "/tmp/peng_bench_large_exact.meme"
-    run_once_path(LARGE_PATH, out_t, w, "tpu")          # warm
+    # settle: the first runs on a fresh process serve byte-exact host
+    # twins while the device programs (count ~50 s, walks ~40 s)
+    # compile in the background — wait until the planner's device
+    # share and the device climb/PWM are actually live, so the timed
+    # walls below measure the device path, not the cold fallback
+    t_wait = time.perf_counter()
+    while time.perf_counter() - t_wait < 240:
+        run_once_path(LARGE_PATH, out_t, w, "tpu")
+        # "host" = cold fallback (compile in flight) — keep waiting;
+        # "host-wide" = the engine's deliberate wide-mode placement
+        # (native climb beats f64 device emulation ~20x) — terminal
+        if ((_et.LAST_HYBRID_FRAC or 0) > 0
+                and _et.LAST_CLIMB_ENGINE != "host"
+                and _et.LAST_PWM_ENGINE != "host"):
+            break
+        time.sleep(8)
     best_t, phases = float("inf"), {}
     for _ in range(2):
         t0 = time.perf_counter()
@@ -198,6 +213,7 @@ def _measure_large(w, ref_s):
                     r"\[TIMING\] (\S+): ([0-9.]+) ms", stderr)
             }
     hybrid_frac = _et.LAST_HYBRID_FRAC
+    engines = {"climb": _et.LAST_CLIMB_ENGINE, "pwm": _et.LAST_PWM_ENGINE}
     # honesty leg: the same run with the adaptive host+device co-count
     # disabled (everything over the wire) — the split can never hide
     # inside a wall number
@@ -218,7 +234,7 @@ def _measure_large(w, ref_s):
     run_once_path(LARGE_PATH, out_e, w, "exact")
     exact_s = time.perf_counter() - t0
     parity = _tol_diff(out_t, out_e, 5e-4, 1e-5)
-    return best_t, parity, exact_s, phases, hybrid_frac, pure_dev_s
+    return best_t, parity, exact_s, phases, hybrid_frac, pure_dev_s, engines
 
 
 DEGRADED_RUNS = 0  # watchdog fallbacks during --engine tpu measurements
@@ -571,7 +587,7 @@ def main():
             for w in (8, 10):
                 ref_s = large_ref[w]
                 (best_t, parity, exact_s, lphases, hfrac,
-                 pure_dev_s) = _measure_large(w, ref_s)
+                 pure_dev_s, lengines) = _measure_large(w, ref_s)
                 large[f"large_w{w}_tpu_wall_s"] = round(best_t, 3)
                 large[f"large_w{w}_tpu_mbases_s"] = round(
                     LARGE_MBASES / best_t, 2)
@@ -583,6 +599,7 @@ def main():
                 large[f"large_w{w}_hybrid_device_frac"] = hfrac
                 large[f"large_w{w}_pure_device_wall_s"] = round(
                     pure_dev_s, 3)
+                large[f"large_w{w}_phase_engines"] = lengines
             large["large_mbases"] = LARGE_MBASES
         except Exception as e:  # noqa: BLE001 - bench must still report
             large["large_error"] = f"{type(e).__name__}: {e}"

@@ -455,6 +455,9 @@ def _count_warm_key(W: int, both: bool, bg_order: int, wire2: bool,
     return (W, both, bg_order, wire2, lay.m_pad, lay.row, lay.ctx)
 
 
+_count_warm_spawned: set = set()
+
+
 def _spawn_count_warmup(ckey: tuple, lay, W: int, both: bool,
                         bg_order: int, wire2: bool):
     """Background compile of the fused count program for this corpus's
@@ -464,6 +467,9 @@ def _spawn_count_warmup(ckey: tuple, lay, W: int, both: bool,
     share."""
     import threading
 
+    if ckey in _count_warm_spawned:
+        return
+    _count_warm_spawned.add(ckey)
     m_pad, row, ctx = lay.m_pad, lay.row, lay.ctx
     stream_len, seq0 = lay.stream_len, int(lay.lengths[0])
 
@@ -882,7 +888,9 @@ def process_tpu(peng, params) -> List[Motif]:
                     ckey = _count_warm_key(W, both, bg_order, wire2, lay)
                     if (ckey not in _count_compiled and _cold_warmed
                             and _host_climb_allowed()
-                            and hy.host_share_available()):
+                            and hy.host_share_available()
+                            and "PENG_HYBRID_DEVICE_FRAC"
+                            not in _os.environ):
                         # this layout bucket's count program hasn't
                         # compiled yet (~50 s server-side): count
                         # host-only this run, compile in the background
@@ -914,8 +922,7 @@ def process_tpu(peng, params) -> List[Motif]:
                     # slower: the XLA overlapping-window materialization
                     # costs more than the host's threaded 2-bit pack
                     # saves.)
-                    if n_undef_a is not None and wire2_eligible(
-                            lay, n_undef_a):
+                    if wire2:
                         # 2-bit wire: -33% upload bytes (the link is the
                         # large-corpus bottleneck); validity
                         # reconstructed on device from
@@ -1078,17 +1085,34 @@ def process_tpu(peng, params) -> List[Motif]:
 
     wkey = climb_mod.walk_key(W, both, params.opt_score_type.value, wide,
                               max(len(selected), 1))
-    use_host_climb = (
+    cold_host_climb = (
         _cold_warmed                       # warmup armed (remote backend)
         and params.mesh is None
         and not climb_mod.walk_compiled(wkey)
         and _host_climb_allowed())
+    # adaptive phase placement (same philosophy as the count co-count):
+    # in wide mode the walks' f64 aggregation is software-emulated on
+    # TPU and loses ~20x to the byte-exact native host climb (measured
+    # 0.45 s vs 0.02 s at w10, 51.2 Mbases) — place the climb on host
+    # for wide single-device runs.  PENG_COLD_HOST_CLIMB=0 pins the
+    # device path (hardware-parity tests).
+    wide_host_climb = (
+        wide and _cold_warmed and params.mesh is None
+        and _host_climb_allowed())
+    if wide_host_climb:
+        from .ops.hybrid import host_share_available  # noqa: PLC0415
+
+        wide_host_climb = host_share_available()
+    use_host_climb = cold_host_climb or wide_host_climb
     global LAST_CLIMB_ENGINE
     host_tables = None
     with peng.timer.phase("optimize"):
         if use_host_climb:
-            LAST_CLIMB_ENGINE = "host"
-            _spawn_missed_walk_warmup(wkey, params)
+            LAST_CLIMB_ENGINE = "host-wide" if wide_host_climb else "host"
+            if not wide_host_climb:
+                # compile the missed bucket for the next run; pointless
+                # for wide (the placement never takes the device walks)
+                _spawn_missed_walk_warmup(wkey, params)
             candidates, host_tables = _host_climb(
                 peng, params, selected, counts_host, ltot, W,
                 current_k, current_max_k)

@@ -791,27 +791,35 @@ extern "C" void bg_count_kmers(const uint8_t* codes, const int64_t* lengths,
     for (int64_t s = 0; s < n_seq; s++) { starts[s] = acc; acc += lengths[s]; }
   }
   std::atomic<int64_t> next(0);
+  // v_k(i) = sum_{j<=k} 4^j * base(i-j) is the low 2(k+1) bits of one
+  // rolling register r(i) = (r(i-1) << 2) | base(i) (older bases at
+  // higher powers), so the per-position work is one shift + masked
+  // increments — no v_k recurrence buffers
+  int64_t mask[16];
+  for (int k = 0; k <= order; k++)
+    mask[k] = ((int64_t)1 << (2 * (k + 1))) - 1;
   auto worker = [&](int tid) {
     int64_t* cnt = partial[tid].data();
-    int64_t vbuf[16];  // v_k at current position, k <= order (order <= 8)
-    int64_t vprev[16];
     int64_t s;
     while ((s = next.fetch_add(1)) < n_seq) {
       const uint8_t* seq = codes + starts[s];
       const int64_t L = lengths[s];
       int n_in_window = 0;  // count of Ns among positions i-8..i
+      int64_t r = 0;
       for (int64_t i = 0; i < L; i++) {
         if (seq[i] == 0) n_in_window++;
         if (i >= 9 && seq[i - 9] == 0) n_in_window--;
-        int64_t base = seq[i] > 0 ? seq[i] - 1 : 0;
-        for (int k = 0; k <= order; k++) {
-          vbuf[k] = base + (k > 0 && i > 0 ? 4 * vprev[k - 1] : 0);
+        const int64_t base = seq[i] > 0 ? seq[i] - 1 : 0;
+        r = (r << 2) | base;
+        const int kmax = (int)(order <= i ? order : i);
+        if (n_in_window == 0) {
+          for (int k = 0; k <= kmax; k++) cnt[offs[k] + (r & mask[k])]++;
+        } else {
+          // N in the lookback: only the reference's signed-modulo
+          // all-A rescue (v == 0) still counts
+          for (int k = 0; k <= kmax; k++)
+            if ((r & mask[k]) == 0) cnt[offs[k]]++;
         }
-        for (int k = 0; k <= order && k <= i; k++) {
-          int64_t v = vbuf[k];
-          if (n_in_window == 0 || v == 0) cnt[offs[k] + v]++;
-        }
-        memcpy(vprev, vbuf, sizeof(int64_t) * (order + 1));
       }
     }
   };
