@@ -686,3 +686,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # hard exit: speculative warm threads may hold in-flight remote
+    # compiles; the tunneled plugin can SIGABRT in interpreter teardown
+    # and corrupt the exit code after the JSON line is already out
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -512,5 +512,18 @@ def main(argv=None):
     return 0
 
 
+def entry():
+    """Console-script entry: hard exit after main (cold-start warm
+    threads may hold in-flight remote compiles, and the tunneled
+    backend plugin can SIGABRT during interpreter teardown — every
+    output is already flushed to disk/stdout by now)."""
+    import os  # noqa: PLC0415
+
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc if isinstance(rc, int) else 0)
+
+
 if __name__ == "__main__":
     sys.exit(main())

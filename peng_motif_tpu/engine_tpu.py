@@ -632,9 +632,16 @@ def _spawn_cold_warmup(W: int, both: bool, order_k: int, order_max: int,
     seed_buckets = {8, 64} if params.max_optimized_patterns >= 50 else {
         max(8, 1 << (params.max_optimized_patterns - 1).bit_length())}
     # walks first: its tracing alone takes seconds under the GIL and
-    # its ~1-minute compile IS the cold-start critical path
-    jobs = [(lambda S=S: _warm_walks(S)) for S in sorted(seed_buckets)] + [
-        _warm_stats, lambda: _warm_pwm_em(_m_pad_floor(wide))]
+    # its ~1-minute compile IS the cold-start critical path.  Wide runs
+    # place the climb/PWM/EM on the native host twins permanently
+    # (f64 device emulation loses ~20x), so their f64 compiles are
+    # never needed unless the device path is pinned.
+    if wide and _host_climb_allowed():
+        jobs = [_warm_stats]
+    else:
+        jobs = [(lambda S=S: _warm_walks(S))
+                for S in sorted(seed_buckets)] + [
+            _warm_stats, lambda: _warm_pwm_em(_m_pad_floor(wide))]
     for job in jobs:
         threading.Thread(target=job, daemon=True).start()
 
@@ -1068,8 +1075,27 @@ def process_tpu(peng, params) -> List[Motif]:
     if len(selected) > params.max_optimized_patterns:
         selected = selected[: params.max_optimized_patterns]
 
-    # cold start: compile phases 3+4 concurrently with the climb
-    _spawn_phase34_warmup(st["counts"], len(selected), W, both, wide, params)
+    # adaptive phase placement (same philosophy as the count co-count):
+    # in wide mode the f64 aggregation chains are software-emulated on
+    # TPU and lose ~20x to the byte-exact native host twins (measured
+    # climb 0.45 s vs 0.02 s at w10, 51.2 Mbases) — wide single-device
+    # runs keep the whole post-count chain (climb, adv-PWM, EM) on
+    # host.  PENG_COLD_HOST_CLIMB=0 pins the device paths
+    # (hardware-parity tests).
+    wide_host_climb = (
+        wide and _cold_warmed and params.mesh is None
+        and _host_climb_allowed())
+    if wide_host_climb:
+        from .ops.hybrid import host_share_available  # noqa: PLC0415
+
+        wide_host_climb = host_share_available()
+
+    # cold start: compile phases 3+4 concurrently with the climb (not
+    # for wide placement runs — their minutes-long f64 4^W-shape
+    # compiles would never be used)
+    if not wide_host_climb:
+        _spawn_phase34_warmup(
+            st["counts"], len(selected), W, both, wide, params)
 
     # -- phase 2: the climb — one device dispatch runs all walks in
     # lockstep; the host replays the sequential seen-set bookkeeping
@@ -1090,19 +1116,6 @@ def process_tpu(peng, params) -> List[Motif]:
         and params.mesh is None
         and not climb_mod.walk_compiled(wkey)
         and _host_climb_allowed())
-    # adaptive phase placement (same philosophy as the count co-count):
-    # in wide mode the walks' f64 aggregation is software-emulated on
-    # TPU and loses ~20x to the byte-exact native host climb (measured
-    # 0.45 s vs 0.02 s at w10, 51.2 Mbases) — place the climb on host
-    # for wide single-device runs.  PENG_COLD_HOST_CLIMB=0 pins the
-    # device path (hardware-parity tests).
-    wide_host_climb = (
-        wide and _cold_warmed and params.mesh is None
-        and _host_climb_allowed())
-    if wide_host_climb:
-        from .ops.hybrid import host_share_available  # noqa: PLC0415
-
-        wide_host_climb = host_share_available()
     use_host_climb = cold_host_climb or wide_host_climb
     global LAST_CLIMB_ENGINE
     host_tables = None
@@ -1148,15 +1161,23 @@ def process_tpu(peng, params) -> List[Motif]:
     table_order = min(background, W - 1)
     global LAST_PWM_ENGINE
     use_host_pwm = False
-    if candidates:
-        n_c = len(candidates)
-        pkey = (W, both, wide,
-                max(_m_pad_floor(wide), 1 << (n_c - 1).bit_length()),
-                params.adv_pwm, params.use_em)
-        use_host_pwm = (host_tables is not None
-                        and pkey not in _pwm_em_compiled
-                        and _host_climb_allowed())
-    LAST_PWM_ENGINE = "host" if use_host_pwm else "device"
+    if candidates and host_tables is not None:
+        if wide_host_climb:
+            # wide placement extends to phases 3/4: the f64 device
+            # adv-PWM/EM emulation is never competitive with the native
+            # twins (and its 4^10-shape compile alone takes minutes) —
+            # wide runs keep the whole post-count chain on host
+            use_host_pwm = True
+        else:
+            n_c = len(candidates)
+            pkey = (W, both, wide,
+                    max(_m_pad_floor(wide), 1 << (n_c - 1).bit_length()),
+                    params.adv_pwm, params.use_em)
+            use_host_pwm = (pkey not in _pwm_em_compiled
+                            and _host_climb_allowed())
+    LAST_PWM_ENGINE = (
+        ("host-wide" if wide_host_climb else "host") if use_host_pwm
+        else "device")
     if use_host_pwm:
         with peng.timer.phase("pwm"):
             peng._calculate_pwms(host_tables, candidates, params)

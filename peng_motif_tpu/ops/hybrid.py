@@ -54,6 +54,16 @@ def _env_f(name: str, default: float) -> float:
         return default
 
 
+def _host_bases_s(W: int) -> float:
+    """Host-share throughput (threaded native count scan + bg scan in
+    sequence, derated ~0.8x for core contention with the engine's own
+    pack/parse threads; measured 2026-08-21 on the 2-core bench host:
+    count 140/105 Mbases/s at w8/w10, bg ~340 after the
+    rolling-register rewrite)."""
+    count = 140e6 if W <= 8 else (105e6 if W <= 10 else 90e6)
+    return 0.8 / (1.0 / count + 1.0 / 340e6)
+
+
 def _kernel_bases_s(W: int) -> float:
     """Device histogram throughput by table size (measured v5e,
     BENCH_r04 roofline): the MXU one-hot path sustains ~580 Mbases/s up
@@ -94,7 +104,7 @@ def plan_device_fraction(total_bases: int, W: int = 8) -> float:
         except ValueError:
             pass
     wire = _env_f("PENG_WIRE_BASES_S", 80e6)
-    h = _env_f("PENG_HOST_SCAN_BASES_S", 55e6)
+    h = _env_f("PENG_HOST_SCAN_BASES_S", _host_bases_s(W))
     lat = _env_f("PENG_DEVICE_LATENCY_S", 0.12)
     if total_bases <= 0 or wire <= 0:
         return 0.0

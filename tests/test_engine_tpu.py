@@ -171,6 +171,13 @@ def test_cold_host_climb_byte_exact(monkeypatch, tmp_path):
     monkeypatch.setattr(et, "_cold_warmed", {("forced",)})
     monkeypatch.setattr(climb_mod, "_compiled_walk_keys", set())
     monkeypatch.setattr(et, "_pwm_em_compiled", set())
+    # determinism: on CPU the phase-3/4 / missed-walk warm threads can
+    # land mid-test and legitimately flip the engine to device — pin
+    # them cold here
+    monkeypatch.setattr(et, "_spawn_phase34_warmup",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(et, "_spawn_missed_walk_warmup",
+                        lambda *a, **k: None)
     argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "8",
             "--engine", "tpu"]
     _run_and_diff(argv, "mafk100_w8", tmp_path)

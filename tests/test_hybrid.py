@@ -47,10 +47,10 @@ def test_plan_large_corpus_splits(monkeypatch):
     f_big = hy.plan_device_fraction(1_000_000_000)
     assert f < f_big < 0.65
     # wider tables scan slower on device (4**10 histogram) -> the
-    # planner keeps more of the corpus on host at w10/w12
+    # planner keeps more of the corpus on host past w8 (the host scan
+    # slows too, so w10/w12 land close together below the w8 share)
     assert hy.plan_device_fraction(51_200_000, 10) < f
-    assert (hy.plan_device_fraction(51_200_000, 12)
-            <= hy.plan_device_fraction(51_200_000, 10))
+    assert hy.plan_device_fraction(51_200_000, 12) < f
 
 
 def test_plan_env_override(monkeypatch):
