@@ -125,7 +125,10 @@ def _ref_binary():
     try:
         os.makedirs("/tmp/refbuild", exist_ok=True)
         subprocess.run(
-            ["cmake", "-DCMAKE_BUILD_TYPE=Release", src],
+            ["cmake", "-DCMAKE_BUILD_TYPE=Release",
+             # newer gcc: the reference's iupac_alphabet.h uses size_t
+             # without <cstddef>; inject it (the source is read-only)
+             "-DCMAKE_CXX_FLAGS=-include cstddef", src],
             cwd="/tmp/refbuild", capture_output=True, timeout=300,
             check=True)
         subprocess.run(
