@@ -165,6 +165,7 @@ def _measure_reference():
         ("ref_mafk_w8_s", DATA, 8),
         ("ref_large_w8_s", LARGE_PATH, 8),
         ("ref_large_w10_s", LARGE_PATH, 10),
+        ("ref_large_w12_s", LARGE_PATH, 12),  # ~151 s: W<=12 ceiling
     ):
         if not os.path.exists(data):
             continue
@@ -606,6 +607,25 @@ def main():
             large["large_mbases"] = LARGE_MBASES
         except Exception as e:  # noqa: BLE001 - bench must still report
             large["large_error"] = f"{type(e).__name__}: {e}"
+        try:
+            # w12 end-to-end (reference README recommends W <= 12):
+            # engine auto routes w12 to the exact engine (measured: the
+            # 4^12 table-side host work dominates every engine and the
+            # device histogram is scatter-bound) — report what the
+            # product default actually does, plus the reference wall
+            import peng_motif_tpu.pipeline as _pl12
+
+            ref12 = ref.get("ref_large_w12_s", 151.5)
+            run_once_path(LARGE_PATH, "/tmp/peng_bench_w12.meme", 12)
+            t0 = time.perf_counter()
+            run_once_path(LARGE_PATH, "/tmp/peng_bench_w12.meme", 12)
+            w12 = time.perf_counter() - t0
+            large["large_w12_wall_s"] = round(w12, 3)
+            large["large_w12_engine_used"] = _pl12.LAST_ENGINE_USED
+            large["large_w12_ref_wall_s"] = ref12
+            large["large_w12_vs_ref"] = round(ref12 / w12, 2)
+        except Exception as e:  # noqa: BLE001
+            large["w12_error"] = f"{type(e).__name__}: {e}"
         try:
             for w in (8, 10, 12):
                 mbs, gbs = _stream_count_device_roofline(w)

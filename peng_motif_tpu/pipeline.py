@@ -156,6 +156,17 @@ class Peng:
         engine = params.engine
         if engine == "auto":
             engine = "tpu" if default_backend_is_accelerator() else "exact"
+            if engine == "tpu" and params.max_pattern_length >= 12:
+                # adaptive placement, measured 2026-08-21 at 51.2
+                # Mbases w12: host table-side work (stats over 4^12
+                # bins, native scans) dominates every engine, the
+                # device histogram is scatter-bound (~85 Mbases/s ~
+                # the host scan rate), and wide placement sends
+                # climb/PWM/EM to the host twins anyway — the exact
+                # engine wins outright (6.4 s vs ~8-12 s device, vs
+                # reference C++ 151 s).  --engine tpu still forces the
+                # device pipeline.
+                engine = "exact"
         if engine == "tpu":
             from .engine_tpu import EngineFallback, process_tpu  # noqa: PLC0415
             from .utils.guarded_fetch import FetchTimeout  # noqa: PLC0415

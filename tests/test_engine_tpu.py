@@ -306,3 +306,49 @@ def test_tpu_engine_parity_w12(tmp_path):
     argv = [os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta"), "-w", "12",
             "--engine", "tpu"]
     _run_and_diff_tol(argv, "mafk100_w12", tmp_path)
+
+
+def test_engine_auto_routes_w12_to_exact(monkeypatch):
+    """On accelerator backends, engine auto routes W >= 12 to the exact
+    engine (adaptive placement: 4^12 table-side host work dominates and
+    the device histogram is scatter-bound — measured 2026-08-21), while
+    W <= 10 keeps the device engine; --engine tpu still forces the
+    device pipeline at any width (covered by test_tpu_engine_parity_w12)."""
+    import peng_motif_tpu.pipeline as pl
+
+    monkeypatch.setattr(pl, "default_backend_is_accelerator", lambda: True)
+    chosen = {}
+
+    def fake_process_tpu(peng, params):
+        chosen["engine"] = "tpu"
+        raise pl_engine.EngineFallback("stop here")
+
+    import peng_motif_tpu.engine_tpu as pl_engine
+
+    monkeypatch.setattr(pl_engine, "process_tpu", fake_process_tpu)
+
+    class _Stop(Exception):
+        pass
+
+    def fake_exact(self, params):
+        chosen.setdefault("engine", "exact")
+        raise _Stop()
+
+    monkeypatch.setattr(pl.Peng, "_process_exact", fake_exact)
+    data = os.path.join(GOLDEN_DIR, "MafK_100seqs.fasta")
+    from peng_motif_tpu.io.fasta import load_sequence_set
+    from peng_motif_tpu.models.background import BackgroundModel
+
+    from peng_motif_tpu.pattern_tables import Strand
+
+    for w, want in ((12, "exact"), (8, "tpu")):
+        chosen.clear()
+        sset = load_sequence_set(data)
+        peng = pl.Peng(Strand.BOTH_STRANDS, 2, 2, sset,
+                       BackgroundModel(sequences=sset.sequences, order=2))
+        params = pl.PengParameters(max_pattern_length=w, engine="auto")
+        try:
+            peng.process(params)
+        except _Stop:
+            pass
+        assert chosen["engine"] == want, (w, chosen)
