@@ -58,43 +58,11 @@ def count_patterns_sharded(
     seq_len = codes.shape[1]
     packed = pack_codes(codes)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P("data", None),
-        out_specs=(P(), P(), P(), P("data")),
-        # pallas_call (MXU histogram) reports no vma; the outputs are
-        # psum-replicated by construction
-        check_vma=False,
-    )
-    def shard_count(shard_buf):
-        shard_codes = _unpack_codes(shard_buf, seq_len)
-        fwd, rc, valid = encoding.window_ids(shard_codes, length)
-        valid = valid & ~scan_skip_mask(shard_codes, valid, length)
-        if both_strands:
-            cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
-        else:
-            cids = jnp.where(valid, fwd, -1)
-        counted, suspicious = naive_dedup(cids, length)
-        flat_ids = jnp.where(counted, cids, 0).reshape(-1)
-        flat_inc = counted.reshape(-1).astype(jnp.int32)
-        local = histogram(flat_ids, flat_inc, 4 ** length)
-        local_ltot = valid.astype(jnp.int64).sum()
-        counts = jax.lax.psum(local, "data")
-        ltot = jax.lax.psum(local_ltot, "data")
-        if both_strands:
-            canon = encoding.canonical_mask_flat(length)
-            canon_idx = encoding.canonical_idx_flat(length)
-            vals = counts[canon_idx]
-        else:
-            vals = counts
-        return vals.astype(jnp.uint16), vals.max(), ltot, suspicious
-
     arr = jax.device_put(
         jnp.asarray(packed), NamedSharding(mesh, P("data", None))
     )
     vals, max_count, ltot, suspicious = jax.device_get(
-        jax.jit(shard_count)(arr))
+        _batch_shard_program(mesh, seq_len, length, both_strands)(arr))
     if int(max_count) > np.iinfo(np.uint16).max:
         # overflow fallback: refetch the replicated full table as int32
         vals = np.asarray(_sharded_counts_i32(
@@ -134,14 +102,26 @@ def count_device_full_sharded(
     codes_padded) — same contract as count_device_full plus the padded
     host codes (suspicious indexes into the padded batch).
     """
-    from ..ops.counting import (  # noqa: PLC0415
-        _n_canonical, _unpack_codes, pack_codes, scan_skip_mask,
-    )
+    from ..ops.counting import pack_codes  # noqa: PLC0415
 
     n_shards = mesh.devices.size
     codes = _pad_batch(np.ascontiguousarray(codes, dtype=np.uint8), n_shards)
     seq_len = codes.shape[1]
     packed = pack_codes(codes)
+
+    arr = jax.device_put(
+        jnp.asarray(packed), NamedSharding(mesh, P("data", None)))
+    counts_dev, vals_u16, max_c, ltot, susp = _full_shard_program(
+        mesh, seq_len, length, both_strands)(arr)
+    return counts_dev, vals_u16, max_c, ltot, susp, codes
+
+
+@functools.lru_cache(maxsize=64)
+def _full_shard_program(mesh: Mesh, seq_len: int, length: int,
+                        both_strands: bool):
+    """Compiled resident-table sharded count program, cached on its
+    static key (see _stream_shard_program for why)."""
+    from ..ops.counting import _unpack_codes, scan_skip_mask  # noqa: PLC0415
 
     @functools.partial(
         jax.shard_map,
@@ -174,10 +154,50 @@ def count_device_full_sharded(
             vals = counts
         return counts, vals.astype(jnp.uint16), vals.max(), ltot, suspicious
 
-    arr = jax.device_put(
-        jnp.asarray(packed), NamedSharding(mesh, P("data", None)))
-    counts_dev, vals_u16, max_c, ltot, susp = jax.jit(shard_count)(arr)
-    return counts_dev, vals_u16, max_c, ltot, susp, codes
+    return jax.jit(shard_count)
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_shard_program(mesh: Mesh, seq_len: int, length: int,
+                         both_strands: bool):
+    """Compiled sharded batch-count program, cached on its static key
+    (a per-call shard_map closure re-jits — retrace + server recompile
+    — every run; see _stream_shard_program)."""
+    from ..ops.counting import _unpack_codes, scan_skip_mask  # noqa: PLC0415
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(), P(), P(), P("data")),
+        # pallas_call (MXU histogram) reports no vma; the outputs are
+        # psum-replicated by construction
+        check_vma=False,
+    )
+    def shard_count(shard_buf):
+        shard_codes = _unpack_codes(shard_buf, seq_len)
+        fwd, rc, valid = encoding.window_ids(shard_codes, length)
+        valid = valid & ~scan_skip_mask(shard_codes, valid, length)
+        if both_strands:
+            cids = jnp.where(valid, jnp.minimum(fwd, rc), -1)
+        else:
+            cids = jnp.where(valid, fwd, -1)
+        counted, suspicious = naive_dedup(cids, length)
+        flat_ids = jnp.where(counted, cids, 0).reshape(-1)
+        flat_inc = counted.reshape(-1).astype(jnp.int32)
+        local = histogram(flat_ids, flat_inc, 4 ** length)
+        local_ltot = valid.astype(jnp.int64).sum()
+        counts = jax.lax.psum(local, "data")
+        ltot = jax.lax.psum(local_ltot, "data")
+        if both_strands:
+            canon = encoding.canonical_mask_flat(length)
+            canon_idx = encoding.canonical_idx_flat(length)
+            vals = counts[canon_idx]
+        else:
+            vals = counts
+        return vals.astype(jnp.uint16), vals.max(), ltot, suspicious
+
+    return jax.jit(shard_count)
 
 
 def stream_count_sharded(
@@ -217,6 +237,27 @@ def stream_count_sharded(
 
     with_bg = bg_order >= 0
 
+    arr = jax.device_put(
+        jnp.asarray(packed.reshape(-1)), NamedSharding(mesh, P("data")))
+    counts_dev, vals, max_c, ltot, susp, bg = _stream_shard_program(
+        mesh, nb, lay.row, lay.ctx, length, both_strands, bg_order)(arr)
+    return (counts_dev, vals, max_c, ltot, susp,
+            bg if with_bg else None, stream, lay)
+
+
+@functools.lru_cache(maxsize=64)
+def _stream_shard_program(mesh: Mesh, nb: int, row: int, ctx: int,
+                          length: int, both_strands: bool, bg_order: int):
+    """Compiled sharded stream-count program, cached on its static key:
+    re-creating the shard_map closure per call re-jitted (retrace +
+    server-side recompile) EVERY run — measured 6.5 s of a 7.3 s warm
+    mesh-of-1 wall at 51.2 Mbases."""
+    from ..ops.stream_count import (  # noqa: PLC0415
+        _accumulated_local_counts, stream_compact,
+    )
+
+    with_bg = bg_order >= 0
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -230,7 +271,7 @@ def stream_count_sharded(
         # does not.  Slab-accumulated: a giant per-shard chunk count
         # would otherwise exceed HBM (see _accumulated_local_counts).
         local, local_ltot, susp, local_bg = _accumulated_local_counts(
-            shard_flat.reshape(-1, nb), lay.row, lay.ctx, length,
+            shard_flat.reshape(-1, nb), row, ctx, length,
             both_strands, bg_order)
         counts = jax.lax.psum(local, "data")
         ltot = jax.lax.psum(local_ltot, "data")  # int64 (see stream_count)
@@ -239,16 +280,18 @@ def stream_count_sharded(
         counts, vals, max_c = stream_compact(counts, length, both_strands)
         return counts, vals, max_c, ltot, susp, bg
 
-    arr = jax.device_put(
-        jnp.asarray(packed.reshape(-1)), NamedSharding(mesh, P("data")))
-    counts_dev, vals, max_c, ltot, susp, bg = jax.jit(shard_count)(arr)
-    return (counts_dev, vals, max_c, ltot, susp,
-            bg if with_bg else None, stream, lay)
+    return jax.jit(shard_count)
 
 
 def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
-    from ..ops.counting import _n_canonical, _unpack_codes  # noqa: PLC0415
+    return _i32_shard_program(mesh, seq_len, length, both_strands)(arr)
 
+
+@functools.lru_cache(maxsize=64)
+def _i32_shard_program(mesh: Mesh, seq_len: int, length: int,
+                       both_strands: bool):
+    """Compiled uint16-overflow refetch program, cached on its static
+    key (see _stream_shard_program for why)."""
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P("data", None), out_specs=P(),
         check_vma=False,
@@ -271,7 +314,7 @@ def _sharded_counts_i32(arr, seq_len, length, both_strands, mesh):
             return counts[canon_idx]
         return counts
 
-    return jax.jit(shard_count)(arr)
+    return jax.jit(shard_count)
 
 
 def _np_mirror(vals: np.ndarray, length: int) -> np.ndarray:
@@ -303,6 +346,21 @@ def count_bg_kmers_sharded(
     lens[: len(lengths)] = np.asarray(lengths)
     lens = lens.astype(np.int32)
 
+    sh = NamedSharding(mesh, P("data", None))
+    arr = jax.device_put(jnp.asarray(codes), sh)
+    lens_dev = jax.device_put(
+        jnp.asarray(lens), NamedSharding(mesh, P("data"))
+    )
+    return [
+        np.asarray(t, dtype=np.int64)
+        for t in _bg_shard_program(mesh, order)(arr, lens_dev)
+    ]
+
+
+@functools.lru_cache(maxsize=64)
+def _bg_shard_program(mesh: Mesh, order: int):
+    """Compiled sharded bg (k+1)-mer program, cached on its static key
+    (see _stream_shard_program for why)."""
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -323,15 +381,7 @@ def count_bg_kmers_sharded(
             outs.append(jax.lax.psum(tab, "data"))
         return tuple(outs)
 
-    sh = NamedSharding(mesh, P("data", None))
-    arr = jax.device_put(jnp.asarray(codes), sh)
-    lens_dev = jax.device_put(
-        jnp.asarray(lens), NamedSharding(mesh, P("data"))
-    )
-    return [
-        np.asarray(t, dtype=np.int64)
-        for t in jax.jit(shard_count)(arr, lens_dev)
-    ]
+    return jax.jit(shard_count)
 
 
 def _bg_window_values(codes: jax.Array, k: int):
