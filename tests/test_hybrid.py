@@ -197,3 +197,38 @@ def test_u16_overflow_host_share(tmp_path, monkeypatch):
             for i, frac in enumerate((1, 0.5, 0))]
     assert outs[1] == outs[0]
     assert outs[2] == outs[0]
+
+
+def test_cold_count_downgrade_then_device(tmp_path, monkeypatch):
+    """First run on a 'remote' backend (forced via _cold_warmed) with
+    an uncompiled count program counts host-only (frac 0) and spawns
+    the background compile; once the compile marker lands, the next run
+    takes the planner's device share.  Outputs identical either way."""
+    import time
+
+    import peng_motif_tpu.engine_tpu as et
+
+    rng = np.random.default_rng(2)
+    data = str(tmp_path / "c.fasta")
+    _write_corpus(data, rng, 200, 120, 120)
+    monkeypatch.setattr(et, "_cold_warmed", {("forced",)})
+    monkeypatch.setattr(et, "_count_compiled", set())
+    monkeypatch.setattr(et, "_count_warm_spawned", set())
+    # planner would pick a device share > 0
+    monkeypatch.setenv("PENG_WIRE_BASES_S", "1e9")
+    monkeypatch.setenv("PENG_HOST_SCAN_BASES_S", "1e3")
+    monkeypatch.setenv("PENG_DEVICE_LATENCY_S", "0")
+    argv = [data, "-w", "6", "--engine", "tpu"]
+    out1 = str(tmp_path / "o1.meme")
+    assert main(argv + ["-o", out1]) == 0
+    assert et.LAST_HYBRID_FRAC == 0.0          # cold downgrade
+    # background compile marks the key (CPU compiles are fast)
+    t0 = time.time()
+    while not et._count_compiled and time.time() - t0 < 60:
+        time.sleep(0.2)
+    assert et._count_compiled, "count warm never landed"
+    out2 = str(tmp_path / "o2.meme")
+    assert main(argv + ["-o", out2]) == 0
+    assert et.LAST_HYBRID_FRAC > 0.0           # device share live
+    with open(out1, "rb") as f, open(out2, "rb") as g:
+        assert f.read() == g.read()
