@@ -840,7 +840,8 @@ def process_tpu(peng, params) -> List[Motif]:
                 counts_dev, vals_u16, max_c, ltot_dev, susp_dev, bg_dev, \
                     stream, lay = stream_count_sharded(
                         sset.sequences, W, both, params.mesh,
-                        flat_codes=flat, bg_order=bg_order)
+                        flat_codes=flat, bg_order=bg_order,
+                        n_undefined=getattr(sset, "n_undefined", None))
             else:
                 # stream layout: ragged-exact, long-contig halo chunks,
                 # shape-stable compiles (ops/stream_count.py)

@@ -203,6 +203,7 @@ def _batch_shard_program(mesh: Mesh, seq_len: int, length: int,
 def stream_count_sharded(
     sequences, length: int, both_strands: bool, mesh: Mesh,
     flat_codes: np.ndarray | None = None, bg_order: int = -1,
+    n_undefined=None,
 ):
     """Stream counting (ops/stream_count.py) with chunks sharded over
     the mesh's data axis: each device scans its slice of the gap-packed
@@ -211,14 +212,16 @@ def stream_count_sharded(
     psum replicates the mirrored table for the table-local phases.
     ``bg_order >= 0`` additionally psums the fused background histogram
     (ops/stream_count.stream_bg_counts) over the same collective.
+    Uniform N-free corpora take the 2-bit wire (-33% upload bytes; each
+    shard reconstructs validity from its global chunk offset via
+    ``axis_index``), same as the single-device fused path.
 
     Returns (counts_dev replicated resident, vals_u16, max_c, ltot,
     suspicious [m_pad], bg (device, or None), stream, layout).
     """
-    from ..ops.counting import _unpack_codes, pack_codes  # noqa: PLC0415
     from ..ops.stream_count import (  # noqa: PLC0415
-        _accumulated_local_counts, build_stream, chunk_rows,
-        stream_compact,
+        build_stream, chunked_packed, chunked_packed2, row_nbytes,
+        row_nbytes2, wire2_eligible,
     )
 
     n_shards = mesh.devices.size
@@ -230,19 +233,72 @@ def stream_count_sharded(
         per = -(-per // 16384) * 16384
     m_pad = per * n_shards
     lay = lay._replace(m_pad=m_pad)
-    rows = chunk_rows(stream, lay)
-    packed = pack_codes(rows)
 
-    nb = packed.shape[1]
+    with_bg = bg_order >= 0
+    if n_undefined is None and flat_codes is not None:
+        n_undefined = int(np.count_nonzero(flat_codes == 0))
+    if n_undefined is not None and wire2_eligible(lay, n_undefined):
+        arr = jax.device_put(
+            jnp.asarray(chunked_packed2(stream, lay)),
+            NamedSharding(mesh, P("data")))
+        meta = jnp.asarray(
+            [int(lay.lengths[0]), lay.stream_len], jnp.int32)
+        counts_dev, vals, max_c, ltot, susp, bg = _stream_shard_program2(
+            mesh, row_nbytes2(lay.row), lay.row, lay.ctx, length,
+            both_strands, bg_order, per)(arr, meta)
+    else:
+        arr = jax.device_put(
+            jnp.asarray(chunked_packed(stream, lay)),
+            NamedSharding(mesh, P("data")))
+        counts_dev, vals, max_c, ltot, susp, bg = _stream_shard_program(
+            mesh, row_nbytes(lay.row), lay.row, lay.ctx, length,
+            both_strands, bg_order)(arr)
+    return (counts_dev, vals, max_c, ltot, susp,
+            bg if with_bg else None, stream, lay)
+
+
+@functools.lru_cache(maxsize=64)
+def _stream_shard_program2(mesh: Mesh, nb: int, row: int, ctx: int,
+                           length: int, both_strands: bool, bg_order: int,
+                           per: int):
+    """2-bit-wire variant of :func:`_stream_shard_program`: ``meta``
+    carries (seq_len, stream_len) as traced scalars (one program per
+    layout bucket), and every shard offsets its chunk indices by
+    ``axis_index * per`` so the arithmetic validity rule sees global
+    stream positions."""
+    from ..ops.stream_count import (  # noqa: PLC0415
+        _accumulated_local_counts, _unpack_codes2, stream_compact,
+    )
 
     with_bg = bg_order >= 0
 
-    arr = jax.device_put(
-        jnp.asarray(packed.reshape(-1)), NamedSharding(mesh, P("data")))
-    counts_dev, vals, max_c, ltot, susp, bg = _stream_shard_program(
-        mesh, nb, lay.row, lay.ctx, length, both_strands, bg_order)(arr)
-    return (counts_dev, vals, max_c, ltot, susp,
-            bg if with_bg else None, stream, lay)
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=(P(), P(), P(), P(), P("data"), P()),
+        check_vma=False,
+    )
+    def shard_count(shard_flat, meta):
+        base = jax.lax.axis_index("data").astype(jnp.int32) * per
+        seq_len, stream_len = meta[0], meta[1]
+
+        def codes_fn(sl, g0):
+            return _unpack_codes2(sl, row, base + g0,
+                                  row - length + 1 - ctx, ctx, length,
+                                  seq_len, stream_len)
+
+        local, local_ltot, susp, local_bg = _accumulated_local_counts(
+            shard_flat.reshape(-1, nb), row, ctx, length,
+            both_strands, bg_order, codes_fn=codes_fn)
+        counts = jax.lax.psum(local, "data")
+        ltot = jax.lax.psum(local_ltot, "data")
+        bg = jax.lax.psum(local_bg, "data") if with_bg else (
+            jnp.zeros((), dtype=jnp.int32))
+        counts, vals, max_c = stream_compact(counts, length, both_strands)
+        return counts, vals, max_c, ltot, susp, bg
+
+    return jax.jit(shard_count)
 
 
 @functools.lru_cache(maxsize=64)
