@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

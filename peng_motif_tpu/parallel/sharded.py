@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import encoding
 from ..ops.pallas_hist import histogram
-from ..ops.counting import host_row_recount, naive_dedup
+from ..ops.counting import naive_dedup
 
 
 def _pad_batch(codes: np.ndarray, n_shards: int) -> np.ndarray:
@@ -49,8 +49,7 @@ def count_patterns_sharded(
     Returns (counts_np int32 [4**W] host table, ltot int).
     """
     from ..ops.counting import (  # noqa: PLC0415
-        _apply_fixup_rows, _n_canonical, _unpack_codes, pack_codes,
-        scan_skip_mask,
+        _apply_fixup_rows, pack_codes,
     )
 
     n_shards = mesh.devices.size
